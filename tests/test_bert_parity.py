@@ -1,0 +1,148 @@
+"""Numerical parity: our from-scratch Flax BERT encoder vs torch BertModel.
+
+The hub is unreachable in CI, so we build small randomly-initialized torch
+models from local transformers config classes, convert their state dicts
+with models/hf_convert.py, and require fp32 agreement to ~1e-4.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from openmatch_tpu.models.bert import BertConfig, BertEncoder
+from openmatch_tpu.models.hf_convert import convert_bert_state_dict
+from openmatch_tpu.models.pooling import mean_pooling
+
+
+def _small_hf_bert(vocab=100, hidden=32, layers=2, heads=4, inter=64, max_pos=64):
+    import torch
+    from transformers import BertConfig as HFBertConfig, BertModel
+
+    torch.manual_seed(0)
+    cfg = HFBertConfig(
+        vocab_size=vocab,
+        hidden_size=hidden,
+        num_hidden_layers=layers,
+        num_attention_heads=heads,
+        intermediate_size=inter,
+        max_position_embeddings=max_pos,
+        hidden_act="gelu",
+    )
+    model = BertModel(cfg)
+    model.eval()
+    return cfg, model
+
+
+@pytest.fixture(scope="module")
+def bert_pair():
+    hf_cfg, torch_model = _small_hf_bert()
+    config = BertConfig.from_hf_config(hf_cfg)
+    sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
+    params = convert_bert_state_dict(sd, config)
+    return config, torch_model, params
+
+
+def _torch_forward(torch_model, ids, mask):
+    import torch
+
+    with torch.no_grad():
+        out = torch_model(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        )
+    return out.last_hidden_state.numpy(), out.pooler_output.numpy()
+
+
+class TestBertParity:
+    def test_full_attention(self, bert_pair):
+        config, torch_model, params = bert_pair
+        rng = np.random.RandomState(0)
+        ids = rng.randint(1, 100, size=(3, 10)).astype(np.int64)
+        mask = np.ones((3, 10), dtype=np.int64)
+
+        expected, expected_pooled = _torch_forward(torch_model, ids, mask)
+        encoder = BertEncoder(config, dtype=jnp.float32)
+        got = encoder.apply({"params": params}, jnp.array(ids), jnp.array(mask))
+        np.testing.assert_allclose(
+            np.asarray(got["last_hidden_state"]), expected, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["pooler_output"]), expected_pooled, atol=2e-4
+        )
+
+    def test_padded_attention_mask(self, bert_pair):
+        config, torch_model, params = bert_pair
+        rng = np.random.RandomState(1)
+        ids = rng.randint(1, 100, size=(2, 12)).astype(np.int64)
+        mask = np.ones((2, 12), dtype=np.int64)
+        mask[0, 8:] = 0
+        mask[1, 5:] = 0
+        ids = ids * mask  # zero out padded ids like a real collator
+
+        expected, _ = _torch_forward(torch_model, ids, mask)
+        encoder = BertEncoder(config, dtype=jnp.float32)
+        got = np.asarray(
+            encoder.apply({"params": params}, jnp.array(ids), jnp.array(mask))[
+                "last_hidden_state"
+            ]
+        )
+        # only compare non-pad positions (pad positions are junk in both)
+        for b in range(2):
+            n = int(mask[b].sum())
+            np.testing.assert_allclose(got[b, :n], expected[b, :n], atol=2e-4)
+
+    def test_mean_pooling_matches_reference_semantics(self, bert_pair):
+        config, _, params = bert_pair
+        hidden = jnp.array(np.random.RandomState(2).randn(2, 4, 8).astype(np.float32))
+        mask = jnp.array([[1, 1, 0, 0], [1, 1, 1, 1]])
+        got = np.asarray(mean_pooling(hidden, mask))
+        h = np.asarray(hidden)
+        np.testing.assert_allclose(got[0], h[0, :2].mean(axis=0), rtol=1e-5)
+        np.testing.assert_allclose(got[1], h[1].mean(axis=0), rtol=1e-5)
+
+
+class TestRobertaParity:
+    def test_roberta_positions(self):
+        import torch
+        from transformers import RobertaConfig as HFRobertaConfig, RobertaModel
+
+        torch.manual_seed(0)
+        hf_cfg = HFRobertaConfig(
+            vocab_size=120,
+            hidden_size=32,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            intermediate_size=64,
+            max_position_embeddings=66,
+            pad_token_id=1,
+        )
+        torch_model = RobertaModel(hf_cfg)
+        torch_model.eval()
+
+        config = BertConfig.from_hf_config(hf_cfg)
+        assert config.position_offset == 2
+        sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
+        params = convert_bert_state_dict(sd, config)
+
+        rng = np.random.RandomState(0)
+        ids = rng.randint(3, 120, size=(2, 9)).astype(np.int64)
+        mask = np.ones((2, 9), dtype=np.int64)
+        mask[1, 6:] = 0
+        ids = np.where(mask > 0, ids, hf_cfg.pad_token_id)
+
+        with torch.no_grad():
+            expected = (
+                torch_model(
+                    input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+                )
+                .last_hidden_state.numpy()
+            )
+        encoder = BertEncoder(config, dtype=jnp.float32)
+        got = np.asarray(
+            encoder.apply({"params": params}, jnp.array(ids), jnp.array(mask))[
+                "last_hidden_state"
+            ]
+        )
+        for b in range(2):
+            n = int(mask[b].sum())
+            np.testing.assert_allclose(got[b, :n], expected[b, :n], atol=2e-4)

@@ -1,0 +1,104 @@
+"""RRModel: scoring shapes, losses, monoT5 path, persistence."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from openmatch_tpu.config import ModelArguments, TrainingArguments
+from openmatch_tpu.models.bert import BertConfig
+from openmatch_tpu.models.rr_model import RRModel
+
+
+def _tiny_bert_cfg():
+    return BertConfig(
+        vocab_size=64, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=32, add_pooler=False,
+    )
+
+
+def _batch(seed=0, b=4, s=12):
+    rng = np.random.RandomState(seed)
+    ids = rng.randint(1, 64, size=(b, s)).astype(np.int32)
+    mask = np.ones((b, s), dtype=np.int32)
+    return {"input_ids": jnp.array(ids), "attention_mask": jnp.array(mask)}
+
+
+class TestBertReranker:
+    def setup_method(self):
+        self.model = RRModel(encoder_config=_tiny_bert_cfg(), head_in_dim=16)
+        self.params = self.model.init_params(jax.random.PRNGKey(0))
+
+    def test_score_shape(self):
+        s = self.model.score(self.params, **_batch())
+        assert s.shape == (4, 1)
+
+    def test_loss_all_registry(self):
+        pos, neg = _batch(1), _batch(2)
+        for name in ["mr", "smr", "bce"]:
+            self.model.loss_fn_str = name
+            loss, (ps, ns) = self.model.loss(self.params, pos, neg)
+            assert np.isfinite(float(loss))
+
+    def test_relevance_passthrough(self):
+        s = jnp.array([[1.5], [2.5]])
+        np.testing.assert_allclose(np.asarray(self.model.relevance_logprob(s)), [1.5, 2.5])
+
+    def test_save_load(self, tmp_path):
+        batch = _batch(3)
+        before = np.asarray(self.model.score(self.params, **batch))
+        self.model.save(self.params, str(tmp_path / "rr"))
+        model2, params2 = RRModel.load(str(tmp_path / "rr"))
+        after = np.asarray(model2.score(params2, **batch))
+        np.testing.assert_allclose(after, before, atol=1e-5)
+
+
+class TestMonoT5Reranker:
+    def setup_method(self):
+        from openmatch_tpu.models.t5 import T5Config
+
+        cfg = T5Config(
+            vocab_size=64, d_model=16, d_kv=4, d_ff=32, num_layers=1,
+            num_decoder_layers=1, num_heads=4,
+            relative_attention_num_buckets=8, relative_attention_max_distance=20,
+        )
+        self.model = RRModel(
+            encoder_config=cfg, backbone_type="t5",
+            pos_token_id=5, neg_token_id=7, head_in_dim=16,
+        )
+        self.params = self.model.init_params(jax.random.PRNGKey(0))
+
+    def test_two_token_scores(self):
+        s = self.model.score(self.params, **_batch())
+        assert s.shape == (4, 2)
+
+    def test_loss_forced_ce(self):
+        assert self.model.loss_fn_str == "ce"
+        loss, _ = self.model.loss(self.params, _batch(1), _batch(2))
+        assert np.isfinite(float(loss))
+
+    def test_relevance_logsoftmax(self):
+        s = jnp.array([[0.0, 0.0]])
+        out = np.asarray(self.model.relevance_logprob(s))
+        np.testing.assert_allclose(out, [np.log(0.5)], rtol=1e-5)
+
+
+def test_build_from_hf_dir(tmp_path):
+    import torch
+    from transformers import BertConfig as HFBertConfig, BertModel
+
+    torch.manual_seed(0)
+    model = BertModel(HFBertConfig(
+        vocab_size=64, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32, max_position_embeddings=32))
+    model.save_pretrained(str(tmp_path / "hf"))
+
+    args = ModelArguments(model_name_or_path=str(tmp_path / "hf"), dtype="float32",
+                          projection_in_dim=16)
+    train_args = TrainingArguments(loss_fn="mr", margin=0.5)
+    rr, params = RRModel.build(args, train_args)
+    assert rr.loss_fn_str == "mr" and rr.margin == 0.5
+    s = rr.score(params, **_batch())
+    assert s.shape == (4, 1)
