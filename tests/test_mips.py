@@ -1,0 +1,132 @@
+"""Exact-MIPS engine vs numpy brute force, single-device and 8-way sharded."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from openmatch_tpu.ops.mips import Searcher, exact_search, sharded_search
+
+
+def brute_topk(q, c, k):
+    scores = q @ c.T
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(scores, idx, axis=1), idx
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.RandomState(0)
+    q = rng.randn(7, 16).astype(np.float32)
+    c = rng.randn(1000, 16).astype(np.float32)
+    return q, c
+
+
+class TestExactSearch:
+    def test_matches_numpy(self, data):
+        q, c = data
+        s, i = exact_search(jnp.array(q), jnp.array(c), k=10)
+        es, ei = brute_topk(q, c, 10)
+        np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i), ei)
+
+    def test_chunked_matches(self, data):
+        q, c = data
+        s, i = exact_search(jnp.array(q), jnp.array(c), k=10, chunk_size=128)
+        es, ei = brute_topk(q, c, 10)
+        np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i), ei)
+
+    def test_chunk_not_dividing_corpus(self, data):
+        q, c = data
+        # 1000 % 300 != 0 exercises the padding path
+        s, i = exact_search(jnp.array(q), jnp.array(c), k=5, chunk_size=300)
+        es, ei = brute_topk(q, c, 5)
+        np.testing.assert_array_equal(np.asarray(i), ei)
+
+    def test_k_larger_than_corpus(self):
+        rng = np.random.RandomState(1)
+        q = rng.randn(2, 8).astype(np.float32)
+        c = rng.randn(5, 8).astype(np.float32)
+        s, i = exact_search(jnp.array(q), jnp.array(c), k=50)
+        assert s.shape == (2, 5)
+
+    def test_sorted_descending(self, data):
+        q, c = data
+        s, _ = exact_search(jnp.array(q), jnp.array(c), k=20, chunk_size=256)
+        s = np.asarray(s)
+        assert (np.diff(s, axis=1) <= 1e-6).all()
+
+
+class TestShardedSearch:
+    def test_matches_numpy(self, data, mesh8):
+        q, c = data
+        # 1000 pads to 1000? 1000 % 8 = 0 -> fine
+        s, i = sharded_search(jnp.array(q), jnp.array(c), k=10, mesh=mesh8)
+        es, ei = brute_topk(q, c, 10)
+        np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i), ei)
+
+    def test_searcher_padded_corpus(self, mesh8):
+        rng = np.random.RandomState(2)
+        q = rng.randn(3, 8).astype(np.float32)
+        c = rng.randn(1001, 8).astype(np.float32)  # pads to 1008
+        searcher = Searcher(c, k=7, mesh=mesh8)
+        s, i = searcher.search(q)
+        es, ei = brute_topk(q, c, 7)
+        np.testing.assert_array_equal(np.asarray(i), ei)
+        np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5)
+
+    def test_searcher_single_device(self, data):
+        q, c = data
+        searcher = Searcher(c, k=10)
+        s, i = searcher.search(q)
+        es, ei = brute_topk(q, c, 10)
+        np.testing.assert_array_equal(np.asarray(i), ei)
+
+
+class TestHierMethod:
+    def test_hier_matches_numpy_large(self):
+        """hier path needs n_groups > k; use a corpus big enough to engage it."""
+        rng = np.random.RandomState(3)
+        q = rng.randn(4, 16).astype(np.float32)
+        c = rng.randn(4096, 16).astype(np.float32)
+        s, i = exact_search(jnp.array(q), jnp.array(c), k=16, method="hier")
+        es, ei = brute_topk(q, c, 16)
+        np.testing.assert_array_equal(np.asarray(i), ei)
+        np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5)
+
+    def test_hier_adversarial_clustered(self):
+        """all top-k packed into one group must still be found exactly."""
+        q = np.ones((1, 4), dtype=np.float32)
+        c = np.zeros((2048, 4), dtype=np.float32)
+        c[100:108] = 5.0  # one full group of 8 holds the best docs
+        c[500] = 4.0
+        s, i = exact_search(jnp.array(q), jnp.array(c), k=9, method="hier")
+        got = set(np.asarray(i)[0].tolist())
+        assert got == set(range(100, 108)) | {500}
+
+    def test_all_methods_agree_on_clear_winners(self):
+        rng = np.random.RandomState(4)
+        q = rng.randn(3, 8).astype(np.float32)
+        c = rng.randn(8192, 8).astype(np.float32)
+        ref_s, ref_i = brute_topk(q, c, 10)
+        for method in ["topk", "hier"]:
+            s, i = exact_search(jnp.array(q), jnp.array(c), k=10, method=method)
+            np.testing.assert_array_equal(np.asarray(i), ref_i, err_msg=method)
+
+
+class TestBf16Path:
+    def test_bf16_corpus_high_recall(self, data):
+        """bf16 scores reorder near-ties; require recall@10 vs fp32 ≥ 0.9."""
+        q, c = data
+        s, i = exact_search(
+            jnp.array(q, jnp.bfloat16), jnp.array(c, jnp.bfloat16), k=10
+        )
+        _, ei = brute_topk(q, c, 10)
+        got = np.asarray(i)
+        recall = np.mean([
+            len(set(got[r]) & set(ei[r])) / 10 for r in range(len(q))
+        ])
+        assert recall >= 0.9
