@@ -1,0 +1,45 @@
+"""Shared driver plumbing: logging, tokenizer, multi-host init."""
+
+from __future__ import annotations
+
+import logging
+import os
+
+
+def setup_logging():
+    logging.basicConfig(
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+        level=os.environ.get("OPENMATCH_LOG_LEVEL", "INFO"),
+    )
+
+
+def maybe_init_distributed():
+    """Multi-host: initialize the JAX distributed runtime when the standard
+    coordinator envs are present (no-op on a single host)."""
+    import jax
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+    return jax.process_index(), jax.process_count()
+
+
+def load_tokenizer(model_args):
+    from transformers import AutoTokenizer
+
+    name = model_args.tokenizer_name or model_args.model_name_or_path
+    # OM checkpoints store the tokenizer alongside params when available;
+    # otherwise fall back to the original HF name.
+    return AutoTokenizer.from_pretrained(name, cache_dir=model_args.cache_dir, use_fast=True)
+
+
+def epochs_iterator(dataset, collator, batch_size: int, num_epochs: int, seed: int):
+    """Epoch-looped batched stream for trainers; hashed seed mirrors the
+    reference's per-epoch sampling (train_dataset.py:115-119)."""
+    from ..data.loader import batched, prefetch
+
+    hashed_seed = hash(seed) % (2**31)
+    for epoch in range(max(num_epochs, 1)):
+        stream = batched(
+            dataset.epoch_iterator(epoch, hashed_seed), batch_size, collator, drop_last=True
+        )
+        yield from prefetch(stream, depth=4)

@@ -201,6 +201,11 @@ class RRModel:
     def load(cls, ckpt_dir: str, dtype=jnp.float32) -> Tuple["RRModel", Dict[str, Any]]:
         with open(os.path.join(ckpt_dir, OPENMATCH_CONFIG)) as f:
             cfg = json.load(f)
+        if "tied" in cfg:
+            raise ValueError(
+                f"{ckpt_dir} is a dense-retrieval (DRModel) checkpoint, not a "
+                "reranker; pass it to DRModel/the retrieve drivers instead."
+            )
         backbone = cfg["plm_backbone"]["type"]
         if backbone == "bert":
             enc_config = BertConfig(**cfg["encoder_config"])

@@ -1,0 +1,132 @@
+"""Cross-encoder reranking runtime over TREC runs.
+
+Reference: Reranker + RRPredictDataset
+(/root/reference/src/openmatch/retriever/reranker.py:23-131): for each
+(qid, did) in the run, tokenize query+doc, score in batches (2-column
+outputs log-softmaxed to log P(relevant), :114-115), merge into a new run.
+
+Redesign: pair generation is a host generator feeding fixed-shape batches
+into one jitted score fn; no per-rank temp trec files — sharding (if any)
+happens upstream in the run split.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Dict, Iterable, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DataArguments, InferenceArguments
+from ..data.collators import pad_ids
+from ..data.loader import batched, prefetch
+from ..models.rr_model import RRModel
+from ..templates import fill_template, find_all_markers
+
+logger = logging.getLogger(__name__)
+
+RankResult = Dict[str, Dict[str, float]]
+
+
+def encode_pair(tokenizer, qry: str, doc: str, max_len: int) -> List[int]:
+    """Single concatenated (query, doc) encoding (reference reranker.py:23-29)."""
+    return tokenizer.encode_plus(
+        (qry, doc) if isinstance(qry, str) else qry + doc,
+        truncation="longest_first",
+        max_length=max_len,
+        padding=False,
+        return_attention_mask=False,
+        return_token_type_ids=False,
+    )["input_ids"]
+
+
+class Reranker:
+    def __init__(
+        self,
+        model: RRModel,
+        params,
+        tokenizer,
+        data_args: DataArguments,
+        inference_args: InferenceArguments,
+    ):
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        self.data_args = data_args
+        self.args = inference_args
+        self.max_len = data_args.q_max_len + data_args.p_max_len + 2
+
+        @jax.jit
+        def _score(params, input_ids, attention_mask):
+            s = model.score(params, input_ids, attention_mask)
+            return model.relevance_logprob(s)
+
+        self._score = _score
+
+    def _pair_stream(
+        self,
+        queries: Dict[str, dict],
+        corpus: Dict[str, dict],
+        run: Dict[str, Dict[str, float]],
+    ) -> Iterator[dict]:
+        """(qid, did, tokenized pair) stream from a run dict
+        (reference RRPredictDataset.__iter__ :54-69)."""
+        q_template = self.data_args.query_template
+        d_template = self.data_args.doc_template
+        q_markers = find_all_markers(q_template) if q_template else None
+        d_markers = find_all_markers(d_template) if d_template else None
+        for qid, docs in run.items():
+            if qid not in queries:
+                continue
+            query_text = (
+                fill_template(q_template, queries[qid], q_markers, allow_not_found=True)
+                if q_template else queries[qid].get("text", "")
+            )
+            for did in docs:
+                if did not in corpus:
+                    continue
+                doc_text = (
+                    fill_template(d_template, corpus[did], d_markers, allow_not_found=True)
+                    if d_template else corpus[did].get("text", "")
+                )
+                ids = encode_pair(self.tokenizer, query_text, doc_text, self.max_len)
+                yield {"qid": qid, "did": did, "input_ids": ids}
+
+    def rerank(
+        self,
+        queries: Dict[str, dict],
+        corpus: Dict[str, dict],
+        run: Dict[str, Dict[str, float]],
+        depth: Optional[int] = None,
+    ) -> RankResult:
+        """Re-score the top ``depth`` docs of each query in ``run``."""
+        if depth is not None:
+            run = {
+                qid: dict(sorted(docs.items(), key=lambda kv: kv[1], reverse=True)[:depth])
+                for qid, docs in run.items()
+            }
+        pad_id = self.tokenizer.pad_token_id or 0
+
+        def collate(features):
+            keys = [(f["qid"], f["did"]) for f in features]
+            batch = pad_ids([f["input_ids"] for f in features], self.max_len, pad_id)
+            return keys, batch
+
+        result: RankResult = {}
+        stream = batched(
+            self._pair_stream(queries, corpus, run),
+            self.args.per_device_eval_batch_size,
+            collate,
+            pad_to_full=True,
+        )
+        for (keys, batch), n_valid in prefetch(stream, depth=4):
+            scores = self._score(
+                self.params, jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"])
+            )
+            scores = np.asarray(scores, np.float32)[:n_valid]
+            for (qid, did), s in zip(keys[:n_valid], scores):
+                result.setdefault(qid, {})[did] = float(s)
+        return result

@@ -1,0 +1,163 @@
+"""Training stack: GradCache equivalence, SPMD train step semantics,
+checkpoint resume, scheduler."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from openmatch_tpu.config import ModelArguments, TrainingArguments
+from openmatch_tpu.losses import simple_contrastive_loss
+from openmatch_tpu.models.bert import BertConfig
+from openmatch_tpu.models.dr_model import DRModel
+from openmatch_tpu.models.rr_model import RRModel
+from openmatch_tpu.parallel.grad_cache import grad_cache_value_and_grad
+from openmatch_tpu.train.dr_trainer import DRTrainer
+from openmatch_tpu.train.rr_trainer import RRTrainer
+from openmatch_tpu.train.state import linear_warmup_schedule
+
+
+def tiny_model(tied=True):
+    cfg = BertConfig(
+        vocab_size=64, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=32, add_pooler=False,
+    )
+    model = DRModel(encoder_config=cfg, tied=tied, dtype=jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return model, params
+
+
+def make_batch(rng, n_q=16, n_psg=2, s=8):
+    q_ids = rng.randint(1, 64, size=(n_q, s)).astype(np.int32)
+    p_ids = rng.randint(1, 64, size=(n_q * n_psg, s)).astype(np.int32)
+    return {
+        "query": {
+            "input_ids": jnp.array(q_ids),
+            "attention_mask": jnp.ones_like(jnp.array(q_ids)),
+        },
+        "passage": {
+            "input_ids": jnp.array(p_ids),
+            "attention_mask": jnp.ones_like(jnp.array(p_ids)),
+        },
+    }
+
+
+class TestGradCache:
+    def test_matches_plain_grad(self):
+        model, params = tiny_model()
+        rng = np.random.RandomState(0)
+        batch = make_batch(rng, n_q=8, n_psg=2)
+
+        def plain_loss(p):
+            q = model.encode_query(p, batch["query"]["input_ids"], batch["query"]["attention_mask"])
+            ps = model.encode_passage(p, batch["passage"]["input_ids"], batch["passage"]["attention_mask"])
+            return simple_contrastive_loss(q, ps)
+
+        ref_loss, ref_grads = jax.value_and_grad(plain_loss)(params)
+
+        vg = grad_cache_value_and_grad(
+            lambda p, b: model.encode_query(p, b["input_ids"], b["attention_mask"]),
+            lambda p, b: model.encode_passage(p, b["input_ids"], b["attention_mask"]),
+            simple_contrastive_loss,
+            q_chunks=4,
+            p_chunks=4,
+        )
+        gc_loss, gc_grads = vg(params, batch["query"], batch["passage"])
+        assert float(gc_loss) == pytest.approx(float(ref_loss), rel=1e-5)
+        for a, b in zip(jax.tree.leaves(ref_grads), jax.tree.leaves(gc_grads)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestDRTrainer:
+    @pytest.mark.parametrize("mode", ["global", "local", "grad_cache"])
+    def test_loss_decreases(self, mesh8, mode):
+        model, params = tiny_model()
+        args = TrainingArguments(
+            learning_rate=5e-3, warmup_ratio=0.0, logging_steps=100,
+            save_steps=0, max_grad_norm=1.0,
+            negatives_x_device=(mode == "global"),
+            grad_cache=(mode == "grad_cache"),
+            per_device_train_batch_size=2,
+            gc_q_chunk_size=1, gc_p_chunk_size=2,
+        )
+        trainer = DRTrainer(model, params, args, total_steps=12, mesh=mesh8)
+        rng = np.random.RandomState(0)
+        batch = make_batch(rng, n_q=16, n_psg=2)  # fixed batch -> loss must drop
+        first = float(trainer.train_step(batch))
+        for _ in range(10):
+            last = float(trainer.train_step(batch))
+        assert last < first, f"{mode}: {first} -> {last}"
+        assert int(trainer.state.step) == 11
+
+    def test_global_negatives_semantics(self, mesh8):
+        """Sharded global loss == single-device loss over the full batch."""
+        model, params = tiny_model()
+        rng = np.random.RandomState(1)
+        batch = make_batch(rng, n_q=16, n_psg=2)
+
+        def full_loss(p):
+            q = model.encode_query(p, batch["query"]["input_ids"], batch["query"]["attention_mask"])
+            ps = model.encode_passage(p, batch["passage"]["input_ids"], batch["passage"]["attention_mask"])
+            return simple_contrastive_loss(q, ps)
+
+        expected = float(full_loss(params))
+        args = TrainingArguments(learning_rate=0.0, warmup_ratio=0.0,
+                                 negatives_x_device=True, logging_steps=100, save_steps=0)
+        trainer = DRTrainer(model, params, args, total_steps=2, mesh=mesh8)
+        got = float(trainer.train_step(batch))
+        assert got == pytest.approx(expected, rel=1e-5)
+
+    def test_checkpoint_resume(self, mesh8, tmp_path):
+        model, params = tiny_model()
+        args = TrainingArguments(
+            output_dir=str(tmp_path), learning_rate=1e-3, warmup_ratio=0.0,
+            logging_steps=100, save_steps=0,
+        )
+        trainer = DRTrainer(model, params, args, total_steps=10, mesh=mesh8)
+        rng = np.random.RandomState(0)
+        batch = make_batch(rng)
+        for _ in range(3):
+            trainer.train_step(batch)
+        ckpt = trainer.save_checkpoint()
+        ref_after = float(trainer.train_step(batch))
+
+        trainer2 = DRTrainer(model, params, args, total_steps=10, mesh=mesh8)
+        assert trainer2.maybe_resume()
+        assert int(trainer2.state.step) == 3
+        got_after = float(trainer2.train_step(batch))
+        assert got_after == pytest.approx(ref_after, rel=1e-4)
+
+
+class TestRRTrainer:
+    def test_loss_decreases(self, mesh8):
+        from openmatch_tpu.models.bert import BertConfig
+
+        cfg = BertConfig(vocab_size=64, hidden_size=16, num_hidden_layers=1,
+                         num_attention_heads=2, intermediate_size=32,
+                         max_position_embeddings=32, add_pooler=False)
+        model = RRModel(encoder_config=cfg, head_in_dim=16, loss_fn_str="bce")
+        params = model.init_params(jax.random.PRNGKey(0))
+        args = TrainingArguments(learning_rate=5e-3, warmup_ratio=0.0,
+                                 logging_steps=100, save_steps=0)
+        trainer = RRTrainer(model, params, args, total_steps=10, mesh=mesh8)
+        rng = np.random.RandomState(0)
+        ids = lambda seed: jnp.array(rng.randint(1, 64, size=(8, 10)).astype(np.int32))
+        batch = {
+            "pos_pairs": {"input_ids": ids(0), "attention_mask": jnp.ones((8, 10), jnp.int32)},
+            "neg_pairs": {"input_ids": ids(1), "attention_mask": jnp.ones((8, 10), jnp.int32)},
+        }
+        first = float(trainer.train_step(batch))
+        for _ in range(8):
+            last = float(trainer.train_step(batch))
+        assert last < first
+
+
+class TestSchedule:
+    def test_linear_warmup(self):
+        sched = linear_warmup_schedule(1.0, total_steps=100, warmup_steps=10)
+        assert float(sched(0)) == pytest.approx(0.0)
+        assert float(sched(10)) == pytest.approx(1.0)
+        assert float(sched(55)) == pytest.approx(0.5, abs=0.02)
+        assert float(sched(100)) == pytest.approx(0.0, abs=1e-6)
