@@ -105,26 +105,13 @@ class InferenceDataset:
     def process_one(self, example: dict) -> Dict:
         example = dict(example)
         example.setdefault("id", example.get(self.id_key, example.get("text_id", example.get("_id"))))
+        from .tokenization import encode_one
+
         if "text" in example and isinstance(example["text"], list):
             # pre-tokenized corpus line (SimpleCollectionPreProcessor output)
-            ids = self.tokenizer.encode_plus(
-                example["text"],
-                truncation="only_first",
-                max_length=self.max_len,
-                padding=False,
-                return_attention_mask=False,
-                return_token_type_ids=False,
-            )["input_ids"]
+            ids = encode_one(self.tokenizer, example["text"], self.max_len)
         else:
-            text = self._text_of(example)
-            ids = self.tokenizer.encode_plus(
-                text,
-                truncation="only_first",
-                max_length=self.max_len,
-                padding=False,
-                return_attention_mask=False,
-                return_token_type_ids=False,
-            )["input_ids"]
+            ids = encode_one(self.tokenizer, self._text_of(example), self.max_len)
         return {"id": str(example["id"]), "input_ids": ids}
 
     # -- access modes --------------------------------------------------

@@ -99,15 +99,9 @@ class TrainDataset:
         return count_lines(self.data_files)
 
     def _encode(self, content, max_length: int) -> List[int]:
-        enc = self.tokenizer.encode_plus(
-            content,
-            truncation="only_first",
-            max_length=max_length,
-            padding=False,
-            return_attention_mask=False,
-            return_token_type_ids=False,
-        )
-        return enc["input_ids"]
+        from .tokenization import encode_one
+
+        return encode_one(self.tokenizer, content, max_length)
 
 
 class DRTrainDataset(TrainDataset):
@@ -162,16 +156,11 @@ class RRTrainDataset(TrainDataset):
     """Yields {"pos_pair": [ids], "neg_pair": [ids]}."""
 
     def _encode_pair(self, qry, psg) -> List[int]:
+        from .tokenization import encode_pair
+
         data_args = self.data_args
-        enc = self.tokenizer.encode_plus(
-            qry + psg if isinstance(qry, list) else (qry, psg),
-            truncation="longest_first",
-            max_length=data_args.q_max_len + data_args.p_max_len + 2,
-            padding=False,
-            return_attention_mask=False,
-            return_token_type_ids=False,
-        )
-        return enc["input_ids"]
+        return encode_pair(self.tokenizer, qry, psg,
+                           data_args.q_max_len + data_args.p_max_len + 2)
 
     def process_one(self, example: dict, epoch: int, hashed_seed: Optional[int]) -> Dict:
         data_args = self.data_args

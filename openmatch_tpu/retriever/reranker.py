@@ -31,16 +31,11 @@ logger = logging.getLogger(__name__)
 RankResult = Dict[str, Dict[str, float]]
 
 
-def encode_pair(tokenizer, qry: str, doc: str, max_len: int) -> List[int]:
+def encode_pair(tokenizer, qry, doc, max_len: int) -> List[int]:
     """Single concatenated (query, doc) encoding (reference reranker.py:23-29)."""
-    return tokenizer.encode_plus(
-        (qry, doc) if isinstance(qry, str) else qry + doc,
-        truncation="longest_first",
-        max_length=max_len,
-        padding=False,
-        return_attention_mask=False,
-        return_token_type_ids=False,
-    )["input_ids"]
+    from ..data.tokenization import encode_pair as _encode_pair
+
+    return _encode_pair(tokenizer, qry, doc, max_len)
 
 
 class Reranker:

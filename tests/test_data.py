@@ -218,3 +218,43 @@ class TestLoader:
 
     def test_prefetch_order(self):
         assert list(prefetch(iter(range(100)), depth=4)) == list(range(100))
+
+
+class TestPreTokenizedInputs:
+    """The reference's train jsonl holds token-id lists; fast tokenizers
+    reject them in encode_plus, so the encode helpers route ids through
+    build_inputs_with_special_tokens."""
+
+    def test_encode_one_ids(self, tokenizer):
+        from openmatch_tpu.data.tokenization import encode_one
+
+        ids = tokenizer.encode("hello world", add_special_tokens=False)
+        out = encode_one(tokenizer, ids, max_length=16)
+        assert out == tokenizer.encode("hello world")  # with specials
+
+    def test_encode_one_truncates(self, tokenizer):
+        from openmatch_tpu.data.tokenization import encode_one
+
+        ids = list(range(5, 10)) 
+        out = encode_one(tokenizer, ids, max_length=4)
+        assert len(out) == 4
+        assert out[0] == tokenizer.cls_token_id and out[-1] == tokenizer.sep_token_id
+
+    def test_encode_pair_ids_longest_first(self, tokenizer):
+        from openmatch_tpu.data.tokenization import encode_pair
+
+        a = [5] * 10
+        b = [6] * 3
+        out = encode_pair(tokenizer, a, b, max_length=12)
+        assert len(out) == 12
+        assert out.count(6) == 3  # shorter side untouched
+
+    def test_dr_dataset_with_id_lists(self, tokenizer, tmp_path):
+        path = tmp_path / "t.jsonl"
+        qids = tokenizer.encode("hello", add_special_tokens=False)
+        pids = tokenizer.encode("world", add_special_tokens=False)
+        path.write_text(json.dumps({"query": qids, "positives": [pids], "negatives": [pids]}) + "\n")
+        args = DataArguments(train_path=str(path), train_n_passages=2, q_max_len=8, p_max_len=8)
+        ds = DRTrainDataset(tokenizer, args)
+        ex = next(ds.epoch_iterator(0, None))
+        assert ex["query"] == tokenizer.encode("hello")
