@@ -1,0 +1,89 @@
+"""Dump ranklib-format features from a v1 model for LeToR ensembling.
+
+Reference: /root/reference/v1/gen_feature.py:10-49 — per (query, doc):
+label, qid, the model's feature vector, its score, and the first-stage
+retrieval score, in RankLib format. Feeds drivers/coor_ascent.py.
+
+    python -m openmatch_tpu.drivers.gen_feature \
+        -model knrm -dev dev.jsonl -vocab vocab.txt \
+        -checkpoint checkpoints/knrm -out features.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import batched
+from ..train.state import TrainState, load_train_state, make_optimizer
+from ..v1.dataset import V1Dataset, WordCollator
+from ..v1.tokenizer import WordTokenizer
+from .train_v1 import build_word_model
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-task", default="ranking")
+    parser.add_argument("-model", default="knrm")
+    parser.add_argument("-dev", required=True)
+    parser.add_argument("-vocab", default=None)
+    parser.add_argument("-pretrain", default=None)
+    parser.add_argument("-checkpoint", required=True)
+    parser.add_argument("-out", required=True)
+    parser.add_argument("-embed_dim", type=int, default=100)
+    parser.add_argument("-max_query_len", type=int, default=10)
+    parser.add_argument("-max_doc_len", type=int, default=256)
+    parser.add_argument("-batch_size", type=int, default=32)
+    parser.add_argument("-seed", type=int, default=42)
+    args = parser.parse_args(argv)
+
+    tokenizer = WordTokenizer(vocab=args.vocab, pretrained=args.pretrain)
+    model, params = build_word_model(args, tokenizer)
+    # restore trained params
+    from ..config import TrainingArguments
+
+    tx = make_optimizer(TrainingArguments(), 1)
+    template = TrainState.create(params, tx)
+    params = load_train_state(args.checkpoint, template).params
+
+    dev_set = V1Dataset(args.dev, mode="dev", task=args.task)
+    collator = WordCollator(tokenizer, args.max_query_len, args.max_doc_len,
+                            mode="dev", task=args.task)
+
+    @jax.jit
+    def run(params, q_idx, q_mask, d_idx, d_mask):
+        return model.apply({"params": params}, q_idx, q_mask, d_idx, d_mask)
+
+    lines = []
+    for batch in batched(iter(dev_set), args.batch_size, collator):
+        scores, feats = run(
+            params,
+            jnp.asarray(batch["query_idx"]), jnp.asarray(batch["query_mask"]),
+            jnp.asarray(batch["doc_idx"]), jnp.asarray(batch["doc_mask"]),
+        )
+        if scores.ndim == 2:
+            scores = jax.nn.softmax(scores, axis=-1)[:, 1]
+        scores = np.asarray(scores, np.float32)
+        feats = np.asarray(feats, np.float32)
+        labels = batch.get("label", np.zeros(len(scores), np.int32))
+        rscores = batch.get("retrieval_score", np.zeros(len(scores), np.float32))
+        for qid, did, label, f, s, r in zip(
+            batch["query_id"], batch["doc_id"], labels, feats, scores, rscores
+        ):
+            parts = [str(int(label)), f"id:{qid}"]
+            parts += [f"{i + 1}:{v}" for i, v in enumerate(f)]
+            parts.append(f"{len(f) + 1}:{s}")
+            parts.append(f"{len(f) + 2}:{r}")
+            parts.append(f"# {did}")
+            lines.append(" ".join(parts))
+
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {len(lines)} feature lines -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Batch-score a dev/test set with a v1 model and write a TREC run.
+
+Reference: /root/reference/v1/inference.py.
+
+    python -m openmatch_tpu.drivers.inference_v1 \
+        -model knrm -test test.jsonl -vocab vocab.txt \
+        -checkpoint checkpoints/knrm -res run.trec
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+from ..data.loader import batched
+from ..train.state import TrainState, load_train_state, make_optimizer
+from ..train.v1_trainer import predict_scores
+from ..utils.trec import save_as_trec
+from ..v1.dataset import V1Dataset, WordCollator
+from ..v1.tokenizer import WordTokenizer
+from .train_v1 import build_word_model, word_score_fn
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-task", default="ranking")
+    parser.add_argument("-model", default="knrm")
+    parser.add_argument("-test", required=True)
+    parser.add_argument("-vocab", default=None)
+    parser.add_argument("-pretrain", default=None)
+    parser.add_argument("-checkpoint", required=True)
+    parser.add_argument("-res", required=True)
+    parser.add_argument("-mode", default="test", choices=["dev", "test"])
+    parser.add_argument("-embed_dim", type=int, default=100)
+    parser.add_argument("-max_query_len", type=int, default=10)
+    parser.add_argument("-max_doc_len", type=int, default=256)
+    parser.add_argument("-batch_size", type=int, default=32)
+    parser.add_argument("-seed", type=int, default=42)
+    args = parser.parse_args(argv)
+
+    tokenizer = WordTokenizer(vocab=args.vocab, pretrained=args.pretrain)
+    model, params = build_word_model(args, tokenizer)
+    from ..config import TrainingArguments
+
+    tx = make_optimizer(TrainingArguments(), 1)
+    template = TrainState.create(params, tx)
+    params = load_train_state(args.checkpoint, template).params
+
+    dataset = V1Dataset(args.test, mode=args.mode, task=args.task)
+    collator = WordCollator(tokenizer, args.max_query_len, args.max_doc_len,
+                            mode=args.mode, task=args.task)
+    batches = batched(iter(dataset), args.batch_size, collator)
+    result = predict_scores(word_score_fn(model), jax.device_get(params), batches, args.task)
+    os.makedirs(os.path.dirname(args.res) or ".", exist_ok=True)
+    save_as_trec(result, args.res)
+    print(f"wrote {len(result)} queries -> {args.res}")
+
+
+if __name__ == "__main__":
+    main()
