@@ -25,6 +25,7 @@ import dataclasses
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -276,6 +277,126 @@ class T5EncoderDecoderStep(nn.Module):
         else:
             logits = nn.Dense(cfg.vocab_size, use_bias=False, dtype=self.dtype, name="lm_head")(dec_hidden)
         return {"decoder_hidden": dec_hidden, "logits": logits, "last_hidden_state": enc_hidden}
+
+
+
+
+class T5Seq2Seq(nn.Module):
+    """Full encoder-decoder with teacher forcing over arbitrary decoder ids.
+
+    Parameter tree is IDENTICAL to T5EncoderDecoderStep (same submodule
+    names), so convert_t5_encdec_state_dict / existing checkpoints serve
+    both; the one-step module stays the fused fast path for retrieval and
+    monoT5 while this one powers generation (query synthesis, ContrastQG —
+    reference v1/Contrastive_Supervision_Synthesis).
+    """
+
+    config: T5Config
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, decoder_input_ids,
+                 decoder_attention_mask=None):
+        cfg = self.config
+        shared = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=self.dtype, name="shared")
+
+        # ---- encoder ----
+        S = input_ids.shape[1]
+        hidden = shared(input_ids)
+        enc_table = self.param(
+            "enc_rel_bias",
+            nn.initializers.normal(1.0),
+            (cfg.relative_attention_num_buckets, cfg.num_heads),
+        )
+        pos = jnp.arange(S)
+        rel = pos[None, :] - pos[:, None]
+        buckets = relative_position_bucket(
+            rel, True, cfg.relative_attention_num_buckets, cfg.relative_attention_max_distance
+        )
+        pos_bias = jnp.transpose(jnp.asarray(enc_table, jnp.float32)[buckets], (2, 0, 1))[None]
+        enc_bias = pos_bias + _mask_bias(attention_mask)
+        for i in range(cfg.num_layers):
+            hidden = T5Block(cfg, is_decoder=False, dtype=self.dtype, name=f"enc_layer_{i}")(hidden, enc_bias)
+        enc_hidden = RMSNorm(cfg.layer_norm_epsilon, dtype=self.dtype, name="enc_final_ln")(hidden)
+
+        # ---- decoder with causal self-attention ----
+        T = decoder_input_ids.shape[1]
+        dec_hidden = shared(decoder_input_ids)
+        dec_table = self.param(
+            "dec_rel_bias",
+            nn.initializers.normal(1.0),
+            (cfg.relative_attention_num_buckets, cfg.num_heads),
+        )
+        dpos = jnp.arange(T)
+        drel = dpos[None, :] - dpos[:, None]
+        dbuckets = relative_position_bucket(
+            drel, False, cfg.relative_attention_num_buckets, cfg.relative_attention_max_distance
+        )
+        dec_pos_bias = jnp.transpose(jnp.asarray(dec_table, jnp.float32)[dbuckets], (2, 0, 1))[None]
+        causal = jnp.where(
+            dpos[None, :] <= dpos[:, None], 0.0, jnp.finfo(jnp.float32).min
+        )[None, None]
+        dec_self_bias = dec_pos_bias + causal
+        if decoder_attention_mask is not None:
+            dec_self_bias = dec_self_bias + _mask_bias(decoder_attention_mask)
+        cross_bias = _mask_bias(attention_mask)
+        for i in range(cfg.num_decoder_layers):
+            dec_hidden = T5Block(cfg, is_decoder=True, dtype=self.dtype, name=f"dec_layer_{i}")(
+                dec_hidden, dec_self_bias, enc_hidden, cross_bias
+            )
+        dec_hidden = RMSNorm(cfg.layer_norm_epsilon, dtype=self.dtype, name="dec_final_ln")(dec_hidden)
+
+        if cfg.tie_word_embeddings:
+            logits = shared.attend((dec_hidden * (cfg.d_model**-0.5)).astype(jnp.float32))
+        else:
+            logits = nn.Dense(cfg.vocab_size, use_bias=False, dtype=self.dtype, name="lm_head")(dec_hidden)
+        return {"logits": logits, "decoder_hidden": dec_hidden, "last_hidden_state": enc_hidden}
+
+
+def shift_right(ids: jnp.ndarray, start_token_id: int, pad_token_id: int = 0) -> jnp.ndarray:
+    """Teacher-forcing decoder inputs: [start, y_0, ..., y_{T-2}]."""
+    shifted = jnp.roll(ids, 1, axis=-1).at[:, 0].set(start_token_id)
+    return jnp.where(shifted == -100, pad_token_id, shifted)
+
+
+def seq2seq_loss(logits: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Token-mean CE over labeled positions (mask 0 = pad)."""
+    import optax
+
+    losses = optax.softmax_cross_entropy_with_integer_labels(logits, jnp.maximum(labels, 0))
+    m = mask.astype(jnp.float32)
+    return (losses * m).sum() / jnp.clip(m.sum(), 1.0, None)
+
+
+def greedy_generate(model: "T5Seq2Seq", params, input_ids, attention_mask,
+                    max_new_tokens: int = 32, eos_token_id: int = 1,
+                    temperature: float = 0.0, rng=None) -> jnp.ndarray:
+    """Autoregressive decode by full re-run per step (no KV cache).
+
+    O(T^2) in decoder length — fine for <=64-token queries. Returns
+    [B, max_new_tokens] generated ids (eos-padded).
+    """
+    cfg = model.config
+    B = input_ids.shape[0]
+    dec = jnp.full((B, max_new_tokens + 1), cfg.pad_token_id, jnp.int32)
+    dec = dec.at[:, 0].set(cfg.decoder_start_token_id)
+    finished = jnp.zeros((B,), bool)
+
+    @jax.jit
+    def step_logits(params, enc_ids, enc_mask, dec_ids):
+        return model.apply({"params": params}, enc_ids, enc_mask, dec_ids)["logits"]
+
+    for t in range(max_new_tokens):
+        logits = step_logits(params, input_ids, attention_mask, dec)[:, t, :]
+        if temperature and rng is not None:
+            rng, sub = jax.random.split(rng)
+            nxt = jax.random.categorical(sub, logits / temperature, axis=-1)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        nxt = jnp.where(finished, eos_token_id, nxt).astype(jnp.int32)
+        dec = dec.at[:, t + 1].set(nxt)
+        finished = finished | (nxt == eos_token_id)
+    return dec[:, 1:]
 
 
 # ---------------------------------------------------------------------------
