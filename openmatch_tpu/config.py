@@ -107,6 +107,8 @@ class TrainingArguments:
     grad_cache: bool = False
     gc_q_chunk_size: int = 4
     gc_p_chunk_size: int = 32
+    dual_learning: bool = field(default=False, metadata={"help": "DANCE-style passage->query dual loss"})
+    dual_weight: float = 0.1
 
     # reranker specifics (reference: arguments.py:171-181)
     margin: float = 1.0

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import TrainingArguments
-from ..losses import contrastive_targets, simple_contrastive_loss
+from ..losses import dual_contrastive_loss, simple_contrastive_loss
 from ..models.dr_model import DRModel
 from ..parallel.grad_cache import grad_cache_value_and_grad
 from ..parallel.mesh import DATA_AXIS, make_mesh, shard_batch
@@ -72,6 +72,8 @@ class DRTrainer:
         """Global in-batch negatives (negatives_x_device semantics)."""
         q_reps = self.model.encode_query(params, batch["query"]["input_ids"], batch["query"]["attention_mask"])
         p_reps = self.model.encode_passage(params, batch["passage"]["input_ids"], batch["passage"]["attention_mask"])
+        if self.args.dual_learning:
+            return dual_contrastive_loss(q_reps, p_reps, self.args.dual_weight)
         return simple_contrastive_loss(q_reps, p_reps)
 
     def _build_step(self):

@@ -79,3 +79,42 @@ class TestPairwise:
 
     def test_registry(self):
         assert set(L.rr_loss_functions) == {"mr", "smr", "bce", "ce"}
+
+
+class TestDualContrastive:
+    def test_reduces_to_simple_plus_weighted_reverse(self):
+        from openmatch_tpu.losses import dual_contrastive_loss, simple_contrastive_loss
+
+        rng = np.random.RandomState(3)
+        q = rng.randn(4, 8).astype(np.float32)
+        p = rng.randn(8, 8).astype(np.float32)  # stride 2
+        total = float(dual_contrastive_loss(jnp.array(q), jnp.array(p), dual_weight=0.5))
+        q2p = float(simple_contrastive_loss(jnp.array(q), jnp.array(p)))
+        pos = p[::2]
+        p2q = softmax_ce(pos @ q.T, [0, 1, 2, 3])
+        assert total == pytest.approx(q2p + 0.5 * p2q, rel=1e-5)
+
+    def test_trainer_flag(self):
+        import jax
+        from openmatch_tpu.config import TrainingArguments
+        from openmatch_tpu.models.bert import BertConfig
+        from openmatch_tpu.models.dr_model import DRModel
+        from openmatch_tpu.train.dr_trainer import DRTrainer
+
+        cfg = BertConfig(vocab_size=32, hidden_size=16, num_hidden_layers=1,
+                         num_attention_heads=2, intermediate_size=32,
+                         max_position_embeddings=16, add_pooler=False)
+        model = DRModel(encoder_config=cfg, dtype=jnp.float32)
+        params = model.init_params(jax.random.PRNGKey(0))
+        args = TrainingArguments(learning_rate=1e-3, warmup_ratio=0.0,
+                                 negatives_x_device=True, dual_learning=True,
+                                 logging_steps=100, save_steps=0)
+        trainer = DRTrainer(model, params, args, total_steps=2)
+        rng = np.random.RandomState(0)
+        batch = {
+            "query": {"input_ids": jnp.array(rng.randint(1, 32, (8, 6)).astype(np.int32)),
+                      "attention_mask": jnp.ones((8, 6), jnp.int32)},
+            "passage": {"input_ids": jnp.array(rng.randint(1, 32, (16, 6)).astype(np.int32)),
+                        "attention_mask": jnp.ones((16, 6), jnp.int32)},
+        }
+        assert np.isfinite(float(trainer.train_step(batch)))
