@@ -34,7 +34,7 @@ def main():
     queries = jnp.asarray(rng.randn(Q, D).astype(np.float32), jnp.bfloat16)
 
     def run():
-        s, i = exact_search(queries, corpus, k=K, chunk_size=0, method="hier")
+        s, i = exact_search(queries, corpus, k=K, chunk_size=0, method="hier2")
         return s
 
     # warm (compile); block via host readback — device sync is unreliable

@@ -1,0 +1,141 @@
+"""Pallas TPU kernel: fused similarity scoring + group-max summaries.
+
+One pass over the corpus computes, per [Q, TILE] score block on the MXU,
+both the fp32 score block (needed later for candidate refinement) and its
+group maxima — the full-matrix reduce pass XLA would otherwise run over
+~1 GB of scores disappears into the matmul's epilogue.
+
+Mosaic note: 2D→3D reshapes don't lower, so groups are STRIDED within a
+tile — group j of tile t holds columns ``t*TILE + j + m*(TILE/8)`` for
+m = 0..7 — making the group max an elementwise max of 8 contiguous
+[Q, TILE/8] slabs (pure VPU, any layout). The selection algorithm only
+needs a fixed partition of columns into groups plus invertible index math,
+so strided groups are as exact as contiguous ones.
+
+Feeds the exact three-level selection (same covering argument as
+ops/mips.py `hier2`). See /opt/skills/guides/pallas_guide.md.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GROUP = 8
+
+
+def _score_gmax_kernel(q_ref, c_ref, s_ref, g_ref):
+    """q: [Q, D] bf16; c: [TILE, D] bf16; s: [Q, TILE] f32; g: [Q, TILE/8] f32."""
+    scores = jax.lax.dot_general(
+        q_ref[:], c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s_ref[:] = scores
+    gw = scores.shape[1] // GROUP
+    g = scores[:, :gw]
+    for m in range(1, GROUP):
+        g = jnp.maximum(g, scores[:, m * gw : (m + 1) * gw])
+    g_ref[:] = g
+
+
+def _slab_gmax(scores_tile: jnp.ndarray) -> jnp.ndarray:
+    """Reference (XLA) strided group max for one tile — used to patch the
+    padded tail with identical semantics."""
+    gw = scores_tile.shape[1] // GROUP
+    g = scores_tile[:, :gw]
+    for m in range(1, GROUP):
+        g = jnp.maximum(g, scores_tile[:, m * gw : (m + 1) * gw])
+    return g
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def fused_score_gmax(
+    queries: jnp.ndarray, corpus: jnp.ndarray, tile: int = 2048
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(scores [Q, N] f32, gmax [Q, N/8] f32) with strided groups per tile."""
+    Q, D = queries.shape
+    N = corpus.shape[0]
+    assert N % tile == 0 and tile % (GROUP * 128) == 0, (N, tile)
+    return pl.pallas_call(
+        _score_gmax_kernel,
+        grid=(N // tile,),
+        in_specs=[
+            pl.BlockSpec((Q, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Q, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, tile // GROUP), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, N), jnp.float32),
+            jax.ShapeDtypeStruct((Q, N // GROUP), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Q * N * D,
+            bytes_accessed=Q * D * 2 + N * D * 2 + Q * N * 4,
+            transcendentals=0,
+        ),
+    )(queries, corpus)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile"))
+def pallas_hier2_search(
+    queries: jnp.ndarray, corpus: jnp.ndarray, k: int = 1000, tile: int = 2048
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k: Pallas fused scoring + three-level selection.
+
+    Result set identical to exact_search(..., method="hier2") (ties aside).
+    Corpus rows padded to a tile multiple internally.
+    """
+    Q, D = queries.shape
+    N = corpus.shape[0]
+    k = min(k, N)
+    pad = (-N) % tile
+    if pad:
+        corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
+    Np = N + pad
+    gw = tile // GROUP  # groups per tile
+    n_tiles = Np // tile
+    n_groups = Np // GROUP
+
+    scores, gmax = fused_score_gmax(queries, corpus, tile)
+    neg_inf = jnp.finfo(jnp.float32).min
+    if pad:
+        # zero-padded corpus rows score 0; mask them and re-derive the last
+        # tile's group maxima from the masked scores (identical slab max).
+        col = jax.lax.broadcasted_iota(jnp.int32, (Q, Np), 1)
+        scores = jnp.where(col < N, scores, neg_inf)
+        last = (n_tiles - 1) * tile
+        gmax = gmax.at[:, (n_tiles - 1) * gw :].set(_slab_gmax(scores[:, last:]))
+
+    n_super = n_groups // 8
+    if n_super <= k or n_groups % 8:
+        from .mips import _hier_topk
+
+        # fall back to the plain exact path on the masked scores
+        return _hier_topk(scores, k)
+
+    smax = gmax.reshape(Q, n_super, 8).max(axis=-1)
+    _, si = jax.lax.top_k(smax, k)
+    member_g = jnp.take_along_axis(
+        gmax.reshape(Q, n_super, 8), si[:, :, None], axis=1
+    ).reshape(Q, 8 * k)
+    member_ids = (si[:, :, None] * 8 + jnp.arange(8, dtype=jnp.int32)).reshape(Q, 8 * k)
+    _, pos = jax.lax.top_k(member_g, k)
+    gi = jnp.take_along_axis(member_ids, pos, axis=1)  # global group ids [Q, k]
+
+    # strided-group member columns: tile_id*tile + within + m*gw
+    tile_id = gi // gw
+    within = gi % gw
+    base = tile_id * tile + within  # [Q, k]
+    cand_idx = (base[:, :, None] + jnp.arange(GROUP, dtype=jnp.int32) * gw).reshape(Q, k * GROUP)
+    cand = jnp.take_along_axis(scores, cand_idx, axis=1)
+    s, p = jax.lax.top_k(cand, k)
+    return s, jnp.take_along_axis(cand_idx, p, axis=1)

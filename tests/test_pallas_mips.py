@@ -1,0 +1,74 @@
+"""Pallas fused scoring kernel — interpret-mode exactness on CPU.
+
+(The compiled kernel is exercised on real TPU hardware by bench/verify
+runs; CI runs the interpreter, which shares the kernel body.)
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from unittest import mock
+from jax.experimental import pallas as pl
+
+
+@pytest.fixture()
+def interpret_pallas():
+    orig = pl.pallas_call
+
+    def interp(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    with mock.patch.object(pl, "pallas_call", interp):
+        yield
+
+
+def brute(q, c, k):
+    return np.argsort(-(q @ c.T), axis=1)[:, :k]
+
+
+class TestPallasHier2:
+    @pytest.mark.parametrize("N,tile,k", [(70000, 2048, 50), (66000, 1024, 64)])
+    def test_exact(self, interpret_pallas, N, tile, k):
+        from openmatch_tpu.ops.pallas_mips import pallas_hier2_search
+
+        rng = np.random.RandomState(0)
+        q = jnp.array(rng.randn(8, 32).astype(np.float32))
+        c = jnp.array(rng.randn(N, 32).astype(np.float32))
+        s, i = pallas_hier2_search(q, c, k=k, tile=tile)
+        np.testing.assert_array_equal(np.asarray(i), brute(np.asarray(q), np.asarray(c), k))
+        assert (np.diff(np.asarray(s), axis=1) <= 1e-6).all()
+
+    def test_clustered_strided_group(self, interpret_pallas):
+        """Top-k packed into one *strided* group must be found exactly."""
+        from openmatch_tpu.ops.pallas_mips import pallas_hier2_search
+
+        q = jnp.ones((1, 4), jnp.float32)
+        c = np.zeros((131072, 4), np.float32)
+        # strided group j=5 of tile 0 (tile=1024, gw=128): columns 5 + m*128
+        cols = [5 + m * 128 for m in range(8)]
+        for col in cols:
+            c[col] = 3.0
+        c[70000] = 2.0
+        s, i = pallas_hier2_search(q, jnp.array(c), k=9, tile=1024)
+        assert set(np.asarray(i)[0].tolist()) == set(cols) | {70000}
+
+    def test_fused_summaries_match_reference(self, interpret_pallas):
+        from openmatch_tpu.ops.pallas_mips import GROUP, fused_score_gmax
+
+        rng = np.random.RandomState(1)
+        q = jnp.array(rng.randn(8, 16).astype(np.float32))
+        c = jnp.array(rng.randn(4096, 16).astype(np.float32))
+        scores, gmax = fused_score_gmax(q, c, tile=1024)
+        ref = np.asarray(q) @ np.asarray(c).T
+        np.testing.assert_allclose(np.asarray(scores), ref, rtol=1e-5)
+        # strided slab max per tile
+        gw = 1024 // GROUP
+        for t in range(4):
+            tile_scores = ref[:, t * 1024 : (t + 1) * 1024]
+            expected = tile_scores.reshape(8, GROUP, gw).max(axis=1)
+            np.testing.assert_allclose(
+                np.asarray(gmax)[:, t * gw : (t + 1) * gw], expected, rtol=1e-5
+            )
