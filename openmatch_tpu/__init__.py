@@ -13,3 +13,18 @@ thunlp/OpenMatch (reference layout documented in SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+# Public API conveniences (submodules import lazily where heavy).
+from .config import (  # noqa: F401,E402
+    ArgumentParser,
+    DataArguments,
+    InferenceArguments,
+    ModelArguments,
+    TrainingArguments,
+)
+from .utils.trec import (  # noqa: F401,E402
+    load_from_trec,
+    merge_retrieval_results_by_score,
+    save_as_trec,
+)
+from .utils.metrics import evaluate_run, eval_mrr, Metric  # noqa: F401,E402
