@@ -1,0 +1,115 @@
+"""Serving layer: service batching/correctness + the live HTTP surface."""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from openmatch_tpu.drivers.serve import RetrievalService, make_handler
+from openmatch_tpu.models.bert import BertConfig
+from openmatch_tpu.models.dr_model import DRModel
+from openmatch_tpu.ops.mips import Searcher
+
+
+@pytest.fixture(scope="module")
+def service(tmp_path_factory):
+    from transformers import BertTokenizerFast
+
+    d = tmp_path_factory.mktemp("serve_tok")
+    topics = [f"topic{i}" for i in range(8)]
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "about", "document", "query"] + topics
+    (d / "vocab.txt").write_text("\n".join(vocab))
+    tokenizer = BertTokenizerFast(vocab_file=str(d / "vocab.txt"))
+
+    cfg = BertConfig(vocab_size=32, hidden_size=16, num_hidden_layers=1,
+                     num_attention_heads=2, intermediate_size=32,
+                     max_position_embeddings=16, add_pooler=False)
+    model = DRModel(encoder_config=cfg, normalize=True, dtype=jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    # corpus: encode 8 topic docs with the same (random) model so each
+    # query's nearest doc is itself-ish (identity ranking is well-defined)
+    from openmatch_tpu.data.collators import pad_ids
+
+    docs = [f"document about topic{i}" for i in range(8)]
+    enc = [tokenizer.encode_plus(t, truncation="only_first", max_length=8,
+                                 return_attention_mask=False,
+                                 return_token_type_ids=False)["input_ids"] for t in docs]
+    batch = pad_ids(enc, 8, tokenizer.pad_token_id)
+    reps = np.asarray(model.encode_passage(
+        params, jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"])))
+    searcher = Searcher(jnp.asarray(reps), k=4)
+    return RetrievalService(model, params, tokenizer, searcher,
+                            [f"d{i}" for i in range(8)], q_max_len=8, max_batch=4)
+
+
+class TestService:
+    def test_identity_retrieval(self, service):
+        results = service.search(["document about topic3"], k=3)
+        assert results[0][0]["id"] == "d3"
+        assert results[0][0]["score"] >= results[0][1]["score"]
+
+    def test_batch_larger_than_compiled_shape(self, service):
+        queries = [f"document about topic{i}" for i in range(7)]  # > max_batch=4
+        results = service.search(queries, k=1)
+        assert [r[0]["id"] for r in results] == [f"d{i}" for i in range(7)]
+
+    def test_empty(self, service):
+        assert service.search([], k=5) == []
+
+
+class TestHTTP:
+    @pytest.fixture(scope="class")
+    def server(self, service):
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service, 4))
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{httpd.server_port}"
+        httpd.shutdown()
+
+    def _post(self, url, payload):
+        req = urllib.request.Request(
+            url + "/search", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    def test_health(self, server):
+        with urllib.request.urlopen(server + "/health") as resp:
+            body = json.loads(resp.read())
+        assert body["status"] == "ok"
+        assert body["num_docs"] == 8
+
+    def test_search(self, server):
+        status, body = self._post(server, {"queries": ["document about topic5"], "k": 2})
+        assert status == 200
+        assert body["results"][0][0]["id"] == "d5"
+        assert len(body["results"][0]) == 2
+
+    def test_bad_payloads(self, server):
+        status, body = self._post(server, {"queries": "not a list"})
+        assert status == 400 and "list of strings" in body["error"]
+        req = urllib.request.Request(
+            server + "/search", data=b"{invalid", method="POST")
+        try:
+            urllib.request.urlopen(req)
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+    def test_unknown_path(self, server):
+        try:
+            urllib.request.urlopen(server + "/nope")
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
