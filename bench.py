@@ -24,7 +24,7 @@ def main():
 
     from openmatch_tpu.ops.mips import exact_search
 
-    N, D, Q, K = 1_000_000, 768, 256, 1000
+    N, D, Q, K = 1_000_000, 768, 512, 1000
     on_tpu = jax.devices()[0].platform != "cpu"
     if not on_tpu:  # CPU fallback keeps the harness runnable anywhere
         N = 100_000
