@@ -159,8 +159,11 @@ def run_ance_generator(
     from ..utils.metrics import evaluate_run
 
     seen = None
-    generation = 0
-    while max_generations < 0 or generation < max_generations:
+    # resume numbering after a crash/restart: publishing generation 0 again
+    # would be ignored by trainers polling for the HIGHEST generation
+    generation = latest_ann_data(config.ann_dir)[1] + 1
+    published = 0
+    while max_generations < 0 or published < max_generations:
         ckpt = latest_checkpoint(checkpoint_dir)
         if ckpt is None or ckpt == seen:
             time.sleep(config.poll_interval_s)
@@ -178,6 +181,7 @@ def run_ance_generator(
                               {**metrics, "checkpoint": ckpt})
         logger.info(f"ANCE generator: wrote {path} ({metrics})")
         generation += 1
+        published += 1
 
 
 # ---------------------------------------------------------------------------

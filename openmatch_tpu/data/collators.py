@@ -60,12 +60,18 @@ class PairCollator:
         return self.q_max_len + self.p_max_len + 2
 
     def __call__(self, features: List[Dict]) -> Dict[str, Dict[str, np.ndarray]]:
-        pos = [f["pos_pair"] for f in features]
-        neg = [f["neg_pair"] for f in features]
-        return {
-            "pos_pairs": pad_ids(pos, self.max_len, self.pad_token_id),
-            "neg_pairs": pad_ids(neg, self.max_len, self.pad_token_id),
+        out = {
+            "pos_pairs": pad_ids([f["pos_pair"] for f in features], self.max_len, self.pad_token_id),
+            "neg_pairs": pad_ids([f["neg_pair"] for f in features], self.max_len, self.pad_token_id),
         }
+        if "pos_segs" in features[0]:  # BERT segment ids (query=0, passage=1)
+            for key, field in (("pos_pairs", "pos_segs"), ("neg_pairs", "neg_segs")):
+                segs = np.zeros_like(out[key]["input_ids"])
+                for i, f in enumerate(features):
+                    s = f[field][: self.max_len]
+                    segs[i, : len(s)] = s
+                out[key]["token_type_ids"] = segs
+        return out
 
 
 @dataclass

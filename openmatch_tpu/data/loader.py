@@ -43,7 +43,11 @@ def batched(
 
 
 def prefetch(iterator: Iterable, depth: int = 2) -> Iterator:
-    """Run the upstream iterator in a daemon thread with a bounded queue."""
+    """Run the upstream iterator in a daemon thread with a bounded queue.
+
+    Upstream exceptions propagate to the consumer — a crashed producer must
+    NOT look like a clean end-of-stream (that would silently truncate
+    encode shards / training epochs)."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
 
@@ -51,8 +55,9 @@ def prefetch(iterator: Iterable, depth: int = 2) -> Iterator:
         try:
             for item in iterator:
                 q.put(item)
-        finally:
             q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — forwarded, not swallowed
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -60,4 +65,6 @@ def prefetch(iterator: Iterable, depth: int = 2) -> Iterator:
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item

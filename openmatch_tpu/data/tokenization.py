@@ -57,3 +57,33 @@ def encode_pair(tokenizer, a: Content, b: Content, max_length: int) -> List[int]
         return_attention_mask=False,
         return_token_type_ids=False,
     )["input_ids"]
+
+
+def encode_pair_with_segments(tokenizer, a: Content, b: Content, max_length: int):
+    """(input_ids, token_type_ids) for a pair — BERT cross-encoders need the
+    segment boundary (query=0, passage=1); fast tokenizers provide
+    create_token_type_ids_from_sequences for the id-list path."""
+    if _is_id_list(a) and _is_id_list(b):
+        a, b = list(a), list(b)
+        num_special = tokenizer.num_special_tokens_to_add(pair=True)
+        budget = max(max_length - num_special, 0)
+        while len(a) + len(b) > budget:
+            if len(a) >= len(b):
+                a.pop()
+            else:
+                b.pop()
+        ids = tokenizer.build_inputs_with_special_tokens(a, b)
+        try:
+            segs = tokenizer.create_token_type_ids_from_sequences(a, b)
+        except Exception:
+            segs = [0] * len(ids)
+        return ids, segs
+    enc = tokenizer.encode_plus(
+        (a, b),
+        truncation="longest_first",
+        max_length=max_length,
+        padding=False,
+        return_attention_mask=False,
+        return_token_type_ids=True,
+    )
+    return enc["input_ids"], enc.get("token_type_ids") or [0] * len(enc["input_ids"])

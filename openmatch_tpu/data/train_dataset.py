@@ -155,12 +155,13 @@ class DRTrainDataset(TrainDataset):
 class RRTrainDataset(TrainDataset):
     """Yields {"pos_pair": [ids], "neg_pair": [ids]}."""
 
-    def _encode_pair(self, qry, psg) -> List[int]:
-        from .tokenization import encode_pair
+    def _encode_pair(self, qry, psg):
+        from .tokenization import encode_pair_with_segments
 
         data_args = self.data_args
-        return encode_pair(self.tokenizer, qry, psg,
-                           data_args.q_max_len + data_args.p_max_len + 2)
+        return encode_pair_with_segments(
+            self.tokenizer, qry, psg, data_args.q_max_len + data_args.p_max_len + 2
+        )
 
     def process_one(self, example: dict, epoch: int, hashed_seed: Optional[int]) -> Dict:
         data_args = self.data_args
@@ -176,9 +177,11 @@ class RRTrainDataset(TrainDataset):
             neg_psg = group_negatives[0]
         else:
             neg_psg = group_negatives[(hashed_seed + epoch) % len(group_negatives)]
+        pos_ids, pos_segs = self._encode_pair(qry, pos_psg)
+        neg_ids, neg_segs = self._encode_pair(qry, neg_psg)
         return {
-            "pos_pair": self._encode_pair(qry, pos_psg),
-            "neg_pair": self._encode_pair(qry, neg_psg),
+            "pos_pair": pos_ids, "pos_segs": pos_segs,
+            "neg_pair": neg_ids, "neg_segs": neg_segs,
         }
 
     def epoch_iterator(self, epoch: int = 0, hashed_seed: Optional[int] = None) -> Iterator[Dict]:

@@ -147,6 +147,12 @@ def make_handler(service: RetrievalService, default_k: int):
                     self._send(400, {"error": "'queries' must be a list of strings"})
                     return
                 k = int(req.get("k", default_k))
+                max_k = service.searcher.k
+                if k < 1 or k > max_k:
+                    self._send(400, {"error": f"'k' must be in [1, {max_k}] "
+                                              "(the index was built with "
+                                              f"retrieve_depth={max_k})"})
+                    return
                 results = service.search(queries, k=k)
                 self._send(200, {"results": results})
             except json.JSONDecodeError:

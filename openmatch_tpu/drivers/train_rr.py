@@ -28,7 +28,10 @@ def main(argv=None):
     )
     import jax
 
+    # steps are counted in GLOBAL batches; each host FEEDS only its local
+    # rows (per-device batch x addressable devices) from its dataset shard
     global_batch = train_args.per_device_train_batch_size * len(jax.devices())
+    local_batch = train_args.per_device_train_batch_size * jax.local_device_count()
     steps_per_epoch = max(len(dataset) // max(global_batch, 1), 1)
     num_epochs = int(math.ceil(train_args.num_train_epochs))
     total_steps = (
@@ -44,7 +47,7 @@ def main(argv=None):
         q_max_len=data_args.q_max_len,
         p_max_len=data_args.p_max_len,
     )
-    data_iter = epochs_iterator(dataset, collator, global_batch, num_epochs, train_args.seed)
+    data_iter = epochs_iterator(dataset, collator, local_batch, num_epochs, train_args.seed)
     trainer.train(data_iter)
     trainer.save_model()
     tokenizer.save_pretrained(train_args.output_dir)

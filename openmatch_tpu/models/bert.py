@@ -20,7 +20,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 ACT2FN = {
-    "gelu": nn.gelu,
+    # HF "gelu" is the exact erf GELU; flax's default is the tanh
+    # approximation — using it would silently drift from every pretrained
+    # BERT checkpoint's training-time activation.
+    "gelu": lambda x: nn.gelu(x, approximate=False),
     "gelu_new": lambda x: nn.gelu(x, approximate=True),
     "relu": nn.relu,
     "silu": nn.silu,

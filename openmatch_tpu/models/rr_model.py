@@ -96,6 +96,14 @@ class RRModel:
     ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
         pos_scores = self.score(params, **pos_batch)
         neg_scores = self.score(params, **neg_batch)
+        if self.loss_fn_str == "ce" and pos_scores.shape[-1] != 2:
+            # the 2-class CE is defined over [neg, pos] logit pairs (monoT5);
+            # a [B, 1] head would silently produce NaN loss
+            raise ValueError(
+                "loss_fn 'ce' requires 2-column scores (monoT5); this "
+                f"backbone produces {pos_scores.shape[-1]}-column scores — "
+                "use 'mr', 'smr', or 'bce'."
+            )
         fn = rr_loss_functions[self.loss_fn_str]
         if self.loss_fn_str in ("mr", "smr"):
             if pos_scores.ndim == 2 and pos_scores.shape[-1] == 1:

@@ -368,6 +368,21 @@ def seq2seq_loss(logits: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray) ->
     return (losses * m).sum() / jnp.clip(m.sum(), 1.0, None)
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=8)
+def _cached_decode_step(model: "T5Seq2Seq"):
+    """One jitted decode step per model instance — defining the jit inside
+    greedy_generate would recompile the full seq2seq graph on every call."""
+
+    @jax.jit
+    def step_logits(params, enc_ids, enc_mask, dec_ids):
+        return model.apply({"params": params}, enc_ids, enc_mask, dec_ids)["logits"]
+
+    return step_logits
+
+
 def greedy_generate(model: "T5Seq2Seq", params, input_ids, attention_mask,
                     max_new_tokens: int = 32, eos_token_id: int = 1,
                     temperature: float = 0.0, rng=None) -> jnp.ndarray:
@@ -382,9 +397,7 @@ def greedy_generate(model: "T5Seq2Seq", params, input_ids, attention_mask,
     dec = dec.at[:, 0].set(cfg.decoder_start_token_id)
     finished = jnp.zeros((B,), bool)
 
-    @jax.jit
-    def step_logits(params, enc_ids, enc_mask, dec_ids):
-        return model.apply({"params": params}, enc_ids, enc_mask, dec_ids)["logits"]
+    step_logits = _cached_decode_step(model)
 
     for t in range(max_new_tokens):
         logits = step_logits(params, input_ids, attention_mask, dec)[:, t, :]

@@ -105,12 +105,16 @@ def exact_search(
     k: int = 100,
     chunk_size: int = 0,
     method: str = "hier2",
+    valid_rows=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k inner-product search.
 
     queries: [Q, D]; corpus: [N, D]. Returns (scores [Q, k] fp32,
     indices [Q, k] int32) sorted by descending score. N is padded up to a
-    chunk multiple internally with -inf scores.
+    chunk multiple internally with -inf scores. ``valid_rows`` (traced
+    scalar) additionally masks corpus rows >= valid_rows to -inf — used by
+    sharded_search so zero-padded shard rows can never evict real docs
+    from the per-shard top-k.
     """
     Q, D = queries.shape
     N = corpus.shape[0]
@@ -129,15 +133,17 @@ def exact_search(
         corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
     corpus = corpus.reshape(num_chunks, chunk_size, D)
 
+    limit = N if valid_rows is None else jnp.minimum(valid_rows, N)
+
     def step(carry, chunk_and_idx):
         best_s, best_i = carry
         chunk, c_idx = chunk_and_idx
         scores = jnp.dot(
             queries, chunk.T, preferred_element_type=jnp.float32
         )  # [Q, C]
-        if pad:
+        if pad or valid_rows is not None:
             col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-            valid = (c_idx * chunk_size + col) < N
+            valid = (c_idx * chunk_size + col) < limit
             scores = jnp.where(valid, scores, -jnp.inf)
         s, i = _chunk_topk(scores, k, method)
         i = i + c_idx * chunk_size
@@ -250,6 +256,7 @@ def sharded_search(
     axis: str = "data",
     chunk_size: int = 0,
     method: str = "hier2",
+    n_valid: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k with the corpus row-sharded over ``mesh[axis]``.
 
@@ -279,8 +286,11 @@ def sharded_search(
         check_vma=False,
     )
     def _search(q, c_shard):
-        s, i = exact_search(q, c_shard, k=k, chunk_size=chunk_size, method=method)
         shard_id = jax.lax.axis_index(axis)
+        total_valid = N if n_valid is None else n_valid
+        shard_valid = jnp.clip(total_valid - shard_id * shard_rows, 0, shard_rows)
+        s, i = exact_search(q, c_shard, k=k, chunk_size=chunk_size,
+                            method=method, valid_rows=shard_valid)
         i = i + shard_id * shard_rows
         # [devices, Q, k] candidates on every device
         all_s = jax.lax.all_gather(s, axis)
@@ -341,7 +351,7 @@ class Searcher:
         if self.mesh is not None:
             s, i = sharded_search(
                 queries, self.corpus, self.k, self.mesh, self.axis,
-                self.chunk_size, self.method,
+                self.chunk_size, self.method, n_valid=self.n_docs,
             )
         else:
             s, i = exact_search(

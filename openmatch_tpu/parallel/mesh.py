@@ -50,8 +50,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device_put a host batch pytree with leading dim sharded over data."""
+    """Place a host batch pytree with the leading dim sharded over data.
+
+    Single-host: plain device_put of the full batch. Multi-host: each
+    process supplies ONLY its local rows (its 1/process_count dataset
+    shard), assembled into the global array with
+    ``make_array_from_process_local_data`` — feeding a full "global" batch
+    per host would silently drop the non-addressable rows and desynchronize
+    hosts.
+    """
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x), batch
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

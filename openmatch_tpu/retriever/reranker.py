@@ -31,11 +31,12 @@ logger = logging.getLogger(__name__)
 RankResult = Dict[str, Dict[str, float]]
 
 
-def encode_pair(tokenizer, qry, doc, max_len: int) -> List[int]:
-    """Single concatenated (query, doc) encoding (reference reranker.py:23-29)."""
-    from ..data.tokenization import encode_pair as _encode_pair
+def encode_pair(tokenizer, qry, doc, max_len: int):
+    """(input_ids, token_type_ids) for a (query, doc) pair
+    (reference reranker.py:23-29 + BERT segment semantics)."""
+    from ..data.tokenization import encode_pair_with_segments
 
-    return _encode_pair(tokenizer, qry, doc, max_len)
+    return encode_pair_with_segments(tokenizer, qry, doc, max_len)
 
 
 class Reranker:
@@ -55,8 +56,8 @@ class Reranker:
         self.max_len = data_args.q_max_len + data_args.p_max_len + 2
 
         @jax.jit
-        def _score(params, input_ids, attention_mask):
-            s = model.score(params, input_ids, attention_mask)
+        def _score(params, input_ids, attention_mask, token_type_ids):
+            s = model.score(params, input_ids, attention_mask, token_type_ids)
             return model.relevance_logprob(s)
 
         self._score = _score
@@ -87,8 +88,8 @@ class Reranker:
                     fill_template(d_template, corpus[did], d_markers, allow_not_found=True)
                     if d_template else corpus[did].get("text", "")
                 )
-                ids = encode_pair(self.tokenizer, query_text, doc_text, self.max_len)
-                yield {"qid": qid, "did": did, "input_ids": ids}
+                ids, segs = encode_pair(self.tokenizer, query_text, doc_text, self.max_len)
+                yield {"qid": qid, "did": did, "input_ids": ids, "token_type_ids": segs}
 
     def rerank(
         self,
@@ -108,6 +109,11 @@ class Reranker:
         def collate(features):
             keys = [(f["qid"], f["did"]) for f in features]
             batch = pad_ids([f["input_ids"] for f in features], self.max_len, pad_id)
+            segs = np.zeros_like(batch["input_ids"])
+            for i, f in enumerate(features):
+                s = f["token_type_ids"][: self.max_len]
+                segs[i, : len(s)] = s
+            batch["token_type_ids"] = segs
             return keys, batch
 
         result: RankResult = {}
@@ -119,7 +125,8 @@ class Reranker:
         )
         for (keys, batch), n_valid in prefetch(stream, depth=4):
             scores = self._score(
-                self.params, jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"])
+                self.params, jnp.asarray(batch["input_ids"]),
+                jnp.asarray(batch["attention_mask"]), jnp.asarray(batch["token_type_ids"]),
             )
             scores = np.asarray(scores, np.float32)[:n_valid]
             for (qid, did), s in zip(keys[:n_valid], scores):

@@ -86,11 +86,29 @@ class DRTrainer:
             n_dev = mesh.shape[DATA_AXIS]
             per_dev_q = max(args.per_device_train_batch_size, 1)
             q_chunks = max(per_dev_q // max(args.gc_q_chunk_size, 1), 1)
+
+            if args.negatives_x_device:
+                # GLOBAL in-batch negatives under GradCache (reference
+                # GCDenseTrainer + DistributedContrastiveLoss): the chunked
+                # rep loss all-gathers both sides; the gradient flows back
+                # through the gather to each shard's local reps, so per-
+                # shard replayed param grads are partial sums — combine
+                # with psum, not pmean.
+                def gc_loss(q_reps, p_reps):
+                    qg = jax.lax.all_gather(q_reps, DATA_AXIS, tiled=True)
+                    pg = jax.lax.all_gather(p_reps, DATA_AXIS, tiled=True)
+                    return simple_contrastive_loss(qg, pg)
+
+                reduce_grads = lambda g: jax.lax.psum(g, DATA_AXIS)
+            else:
+                gc_loss = simple_contrastive_loss
+                reduce_grads = lambda g: jax.lax.pmean(g, DATA_AXIS)
+
             # passages per device = q * train_n_passages; chunk count from size
             vg_builder = lambda n_psg_rows: grad_cache_value_and_grad(
                 lambda pr, b: self.model.encode_query(pr, b["input_ids"], b["attention_mask"]),
                 lambda pr, b: self.model.encode_passage(pr, b["input_ids"], b["attention_mask"]),
-                simple_contrastive_loss,
+                gc_loss,
                 q_chunks=q_chunks,
                 p_chunks=max(n_psg_rows // max(args.gc_p_chunk_size, 1), 1),
             )
@@ -100,7 +118,7 @@ class DRTrainer:
                 vg = vg_builder(n_psg_rows)
                 loss, grads = vg(state.params, batch["query"], batch["passage"])
                 loss = jax.lax.pmean(loss, DATA_AXIS)
-                grads = jax.lax.pmean(grads, DATA_AXIS)
+                grads = jax.tree.map(reduce_grads, grads)
                 return state.apply_gradients(grads), loss
 
             @partial(jax.jit, donate_argnums=(0,))

@@ -258,3 +258,18 @@ class TestPreTokenizedInputs:
         ds = DRTrainDataset(tokenizer, args)
         ex = next(ds.epoch_iterator(0, None))
         assert ex["query"] == tokenizer.encode("hello")
+
+
+class TestPrefetchExceptions:
+    def test_upstream_error_propagates(self):
+        """A crashing producer must raise, not truncate (review finding)."""
+        def bad():
+            yield 1
+            yield 2
+            raise ValueError("boom at item 3")
+
+        out = []
+        with pytest.raises(ValueError, match="boom"):
+            for x in prefetch(bad(), depth=2):
+                out.append(x)
+        assert out == [1, 2]

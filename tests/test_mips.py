@@ -130,3 +130,18 @@ class TestBf16Path:
             len(set(got[r]) & set(ei[r])) / 10 for r in range(len(q))
         ])
         assert recall >= 0.9
+
+
+class TestShardedPaddingExactness:
+    def test_pad_rows_cannot_evict_negative_scores(self, mesh8):
+        """All true scores negative + zero-padded shard rows scoring 0:
+        padding must not steal top-k slots (code-review finding)."""
+        rng = np.random.RandomState(7)
+        q = -np.abs(rng.randn(3, 8)).astype(np.float32)
+        c = np.abs(rng.randn(1001, 8)).astype(np.float32)  # pads to 1008
+        # all inner products negative, pad rows would score 0.0 > all
+        searcher = Searcher(c, k=7, mesh=mesh8)
+        s, i = searcher.search(q)
+        es, ei = brute_topk(q, c, 7)
+        np.testing.assert_array_equal(np.asarray(i), ei)
+        assert np.isfinite(np.asarray(s)).all()

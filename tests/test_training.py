@@ -161,3 +161,33 @@ class TestSchedule:
         assert float(sched(10)) == pytest.approx(1.0)
         assert float(sched(55)) == pytest.approx(0.5, abs=0.02)
         assert float(sched(100)) == pytest.approx(0.0, abs=1e-6)
+
+
+class TestGradCacheGlobalNegatives:
+    def test_gc_global_matches_plain_global(self, mesh8):
+        """GradCache + negatives_x_device must produce the same loss and the
+        same parameter update as the plain global-negatives step
+        (reference: GCDenseTrainer with DistributedContrastiveLoss)."""
+        model, params = tiny_model()
+        rng = np.random.RandomState(5)
+        batch = make_batch(rng, n_q=16, n_psg=2)
+
+        def build(grad_cache):
+            args = TrainingArguments(
+                learning_rate=1e-2, warmup_ratio=0.0, logging_steps=100,
+                save_steps=0, max_grad_norm=0.0,
+                negatives_x_device=True, grad_cache=grad_cache,
+                per_device_train_batch_size=2, gc_q_chunk_size=1, gc_p_chunk_size=2,
+            )
+            return DRTrainer(model, params, args, total_steps=2, mesh=mesh8)
+
+        plain = build(False)
+        gc = build(True)
+        loss_plain = float(plain.train_step(batch))
+        loss_gc = float(gc.train_step(batch))
+        assert loss_gc == pytest.approx(loss_plain, rel=1e-5)
+        for a, b in zip(
+            jax.tree.leaves(jax.device_get(plain.state.params)),
+            jax.tree.leaves(jax.device_get(gc.state.params)),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
