@@ -109,6 +109,10 @@ class TrainingArguments:
     gc_p_chunk_size: int = 32
     dual_learning: bool = field(default=False, metadata={"help": "DANCE-style passage->query dual loss"})
     dual_weight: float = 0.1
+    score_temperature: float = field(default=1.0, metadata={
+        "help": "divide similarity scores by this in the contrastive loss; "
+                "essential when --normalize bounds scores to [-1, 1] "
+                "(try 0.01-0.05), harmless at 1.0 otherwise"})
 
     # reranker specifics (reference: arguments.py:171-181)
     margin: float = 1.0

@@ -37,15 +37,20 @@ def simple_contrastive_loss(
     p_reps: jnp.ndarray,
     targets: jnp.ndarray = None,
     reduction: str = "mean",
+    temperature: float = 1.0,
 ) -> jnp.ndarray:
     """In-batch softmax contrastive loss over the full score matrix.
 
     q_reps: [n_q, d]; p_reps: [n_q * n_psg, d]. Scores accumulate in fp32
     regardless of input dtype (MXU-friendly: bf16 in, fp32 out).
+    ``temperature`` divides the scores before the softmax — required for
+    useful gradients when reps are L2-normalized (cosine scores in [-1, 1]).
     """
     if targets is None:
         targets = contrastive_targets(q_reps.shape[0], p_reps.shape[0])
     scores = jnp.dot(q_reps, p_reps.T, preferred_element_type=jnp.float32)
+    if temperature != 1.0:
+        scores = scores / temperature
     losses = optax.softmax_cross_entropy_with_integer_labels(scores, targets)
     if reduction == "mean":
         return losses.mean()

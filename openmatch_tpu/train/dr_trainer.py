@@ -22,6 +22,7 @@ import logging
 import math
 import os
 import time
+import functools
 from functools import partial
 from typing import Any, Dict, Iterable, Optional
 
@@ -74,7 +75,8 @@ class DRTrainer:
         p_reps = self.model.encode_passage(params, batch["passage"]["input_ids"], batch["passage"]["attention_mask"])
         if self.args.dual_learning:
             return dual_contrastive_loss(q_reps, p_reps, self.args.dual_weight)
-        return simple_contrastive_loss(q_reps, p_reps)
+        return simple_contrastive_loss(q_reps, p_reps,
+                                       temperature=self.args.score_temperature)
 
     def _build_step(self):
         args = self.args
@@ -97,11 +99,13 @@ class DRTrainer:
                 def gc_loss(q_reps, p_reps):
                     qg = jax.lax.all_gather(q_reps, DATA_AXIS, tiled=True)
                     pg = jax.lax.all_gather(p_reps, DATA_AXIS, tiled=True)
-                    return simple_contrastive_loss(qg, pg)
+                    return simple_contrastive_loss(
+                        qg, pg, temperature=args.score_temperature)
 
                 reduce_grads = lambda g: jax.lax.psum(g, DATA_AXIS)
             else:
-                gc_loss = simple_contrastive_loss
+                gc_loss = functools.partial(
+                    simple_contrastive_loss, temperature=args.score_temperature)
                 reduce_grads = lambda g: jax.lax.pmean(g, DATA_AXIS)
 
             # passages per device = q * train_n_passages; chunk count from size

@@ -118,3 +118,13 @@ class TestDualContrastive:
                         "attention_mask": jnp.ones((16, 6), jnp.int32)},
         }
         assert np.isfinite(float(trainer.train_step(batch)))
+
+
+class TestTemperature:
+    def test_scales_logits(self):
+        rng = np.random.RandomState(4)
+        q = rng.randn(2, 8).astype(np.float32)
+        p = rng.randn(4, 8).astype(np.float32)
+        cold = L.simple_contrastive_loss(jnp.array(q), jnp.array(p), temperature=0.05)
+        expected = softmax_ce((q @ p.T) / 0.05, [0, 2])
+        assert float(cold) == pytest.approx(expected, rel=1e-5)
