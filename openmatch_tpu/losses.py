@@ -14,9 +14,9 @@ rank, re-inserts the local tensor to keep its gradient, computes the *global*
 loss on every rank, multiplies by world_size, and divides again at the
 training step — a dance to cancel DDP's gradient averaging. In JAX the whole
 batch lives in one jitted program sharded over the mesh: computing this loss
-on the globally-sharded (or explicitly all-gathered, see
-``parallel/gather.py``) reps gives the mathematically identical gradient with
-no rescaling.
+on the globally-sharded reps (or reps explicitly all-gathered inside the
+GradCache path, see train/dr_trainer.py) gives the mathematically identical
+gradient with no rescaling.
 """
 
 from __future__ import annotations
