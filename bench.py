@@ -20,6 +20,10 @@ import numpy as np
 
 def main():
     import jax
+
+    from openmatch_tpu.drivers.common import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from openmatch_tpu.ops.mips import exact_search
