@@ -139,3 +139,125 @@ def pallas_hier2_search(
     cand = jnp.take_along_axis(scores, cand_idx, axis=1)
     s, p = jax.lax.top_k(cand, k)
     return s, jnp.take_along_axis(cand_idx, p, axis=1)
+
+
+def _gmax_only_kernel(q_ref, c_ref, g_ref):
+    """Scoring epilogue WITHOUT storing scores: only strided group maxima
+    leave the chip. Enables corpora whose [Q, N] score matrix cannot fit in
+    HBM (e.g. 8.8M docs at Q=512 would need ~18 GB fp32)."""
+    scores = jax.lax.dot_general(
+        q_ref[:], c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gw = scores.shape[1] // GROUP
+    g = scores[:, :gw]
+    for m in range(1, GROUP):
+        g = jnp.maximum(g, scores[:, m * gw : (m + 1) * gw])
+    g_ref[:] = g
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def fused_gmax_only(queries: jnp.ndarray, corpus: jnp.ndarray, tile: int = 2048) -> jnp.ndarray:
+    """gmax [Q, N/8] f32 with strided groups per tile; scores never stored."""
+    Q, D = queries.shape
+    N = corpus.shape[0]
+    assert N % tile == 0 and tile % (GROUP * 128) == 0, (N, tile)
+    return pl.pallas_call(
+        _gmax_only_kernel,
+        grid=(N // tile,),
+        in_specs=[
+            pl.BlockSpec((Q, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Q, tile // GROUP), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Q, N // GROUP), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Q * N * D,
+            bytes_accessed=Q * D * 2 + N * D * 2 + Q * (N // GROUP) * 4,
+            transcendentals=0,
+        ),
+    )(queries, corpus)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile"))
+def pallas_hier2_rescore(
+    queries: jnp.ndarray, corpus: jnp.ndarray, k: int = 1000, tile: int = 2048
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k WITHOUT materializing the score matrix.
+
+    Phase A: Pallas gmax-only pass over the tile-ALIGNED corpus prefix (the
+    only large intermediate is [Q, N/8] fp32, 8x smaller than scores); the
+    sub-tile tail is scored in plain XLA with -inf masking so pad rows can
+    never inflate a group max and steal a selection slot (adversarially
+    tested). Phase B: three-level exact selection on the group maxima.
+    Phase C: gather the k*8 candidate corpus rows per query and rescore in
+    fp32 (exact: bf16 inputs, fp32 accumulation like every other path).
+
+    HBM for an 8.8M x 768 bf16 corpus at Q=256: corpus 13.5 GB +
+    gmax 1.1 GB + candidates ~3 GB transient — fits one 16 GB v5e where
+    the score-materializing paths cannot.
+    """
+    Q, D = queries.shape
+    N = corpus.shape[0]
+    k = min(k, N)
+    gw = tile // GROUP
+    neg_inf = jnp.finfo(jnp.float32).min
+
+    n_full = N // tile
+    aligned = n_full * tile
+    r = N - aligned  # tail rows (< tile)
+    n_tiles = n_full + (1 if r else 0)
+    Np = n_tiles * tile
+    n_groups = Np // GROUP
+
+    n_super = n_groups // 8
+    if n_super <= k or n_full == 0:
+        from .mips import exact_search
+
+        return exact_search(queries, corpus, k=k)
+
+    gmax = fused_gmax_only(queries, corpus[:aligned], tile)
+    if r:
+        # tail tile in XLA: honest strided maxima over masked scores
+        tail_scores = jnp.dot(queries, corpus[aligned:].T,
+                              preferred_element_type=jnp.float32)
+        tail_scores = jnp.pad(tail_scores, ((0, 0), (0, tile - r)),
+                              constant_values=neg_inf)
+        gmax = jnp.concatenate([gmax, _slab_gmax(tail_scores)], axis=1)
+        corpus = jnp.pad(corpus, ((0, tile - r), (0, 0)))  # for the gather
+
+    smax = gmax.reshape(Q, n_super, 8).max(axis=-1)
+    _, si = jax.lax.top_k(smax, k)
+    member_g = jnp.take_along_axis(
+        gmax.reshape(Q, n_super, 8), si[:, :, None], axis=1
+    ).reshape(Q, 8 * k)
+    member_ids = (si[:, :, None] * 8 + jnp.arange(8, dtype=jnp.int32)).reshape(Q, 8 * k)
+    _, pos = jax.lax.top_k(member_g, k)
+    gi = jnp.take_along_axis(member_ids, pos, axis=1)
+
+    tile_id = gi // gw
+    within = gi % gw
+    base = tile_id * tile + within
+    cand_idx = (base[:, :, None] + jnp.arange(GROUP, dtype=jnp.int32) * gw).reshape(Q, k * GROUP)
+
+    # rescore in query blocks: the [q, k*8, D] gathered-rows transient for
+    # all queries at once (~3 GB at Q=256, k=1000, D=768 bf16) would not
+    # coexist with a 13.5 GB corpus on a 16 GB chip
+    QB = 32
+    q_pad = (-Q) % QB
+    cand_b = jnp.pad(cand_idx, ((0, q_pad), (0, 0))).reshape(-1, QB, k * GROUP)
+    quer_b = jnp.pad(queries, ((0, q_pad), (0, 0))).reshape(-1, QB, D)
+
+    def rescore_block(args):
+        cidx, qb = args
+        rows = jnp.take(corpus, cidx.reshape(-1), axis=0).reshape(QB, k * GROUP, D)
+        sc = jnp.einsum("qcd,qd->qc", rows, qb, preferred_element_type=jnp.float32)
+        sc = jnp.where(cidx < N, sc, neg_inf)
+        sb, pb = jax.lax.top_k(sc, k)
+        return sb, jnp.take_along_axis(cidx, pb, axis=1)
+
+    s_blocks, i_blocks = jax.lax.map(rescore_block, (cand_b, quer_b))
+    s = s_blocks.reshape(-1, k)[:Q]
+    idx = i_blocks.reshape(-1, k)[:Q]
+    return s, idx

@@ -72,3 +72,40 @@ class TestPallasHier2:
             np.testing.assert_allclose(
                 np.asarray(gmax)[:, t * gw : (t + 1) * gw], expected, rtol=1e-5
             )
+
+
+class TestPallasRescore:
+    """Score-free path: gmax-only kernel + fp32 candidate rescoring."""
+
+    @pytest.mark.parametrize("N,tile,k", [(70000, 2048, 50), (66000, 1024, 64)])
+    def test_exact(self, interpret_pallas, N, tile, k):
+        from openmatch_tpu.ops.pallas_mips import pallas_hier2_rescore
+
+        rng = np.random.RandomState(0)
+        q = jnp.array(rng.randn(8, 32).astype(np.float32))
+        c = jnp.array(rng.randn(N, 32).astype(np.float32))
+        s, i = pallas_hier2_rescore(q, c, k=k, tile=tile)
+        np.testing.assert_array_equal(np.asarray(i), brute(np.asarray(q), np.asarray(c), k))
+
+    def test_all_negative_scores_with_padding(self, interpret_pallas):
+        """Adversarial: pad rows score 0 > every real score; selection must
+        not lose real docs (caught a real bug in the first implementation:
+        without stored scores the pad-inflated tail maxima cannot be
+        patched, so the tail tile is scored outside the kernel)."""
+        from openmatch_tpu.ops.pallas_mips import pallas_hier2_rescore
+
+        rng = np.random.RandomState(1)
+        q = -jnp.ones((1, 4))
+        c = jnp.array(np.abs(rng.randn(66000, 4)).astype(np.float32))
+        s, i = pallas_hier2_rescore(q, c, k=30, tile=1024)
+        np.testing.assert_array_equal(
+            np.asarray(i), brute(np.asarray(q), np.asarray(c), 30))
+
+    def test_query_count_not_multiple_of_block(self, interpret_pallas):
+        from openmatch_tpu.ops.pallas_mips import pallas_hier2_rescore
+
+        rng = np.random.RandomState(2)
+        q = jnp.array(rng.randn(40, 32).astype(np.float32))  # 40 % 32 != 0
+        c = jnp.array(rng.randn(70000, 32).astype(np.float32))
+        s, i = pallas_hier2_rescore(q, c, k=20, tile=2048)
+        np.testing.assert_array_equal(np.asarray(i), brute(np.asarray(q), np.asarray(c), 20))
