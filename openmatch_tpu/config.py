@@ -90,6 +90,9 @@ class TrainingArguments:
     adam_beta2: float = 0.999
     adam_epsilon: float = 1e-8
     max_grad_norm: float = 1.0
+    optimizer: str = field(default="adamw", metadata={
+        "help": "adamw | lamb; lamb is the reference ANCE recipe's optimizer "
+                "(v1/retrievers/ANCE/utils/lamb.py) for large-batch training"})
     num_train_epochs: float = 3.0
     max_steps: int = -1
     warmup_ratio: float = 0.1

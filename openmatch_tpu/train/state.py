@@ -64,15 +64,32 @@ def make_optimizer(train_args, total_steps: int) -> optax.GradientTransformation
     components = []
     if train_args.max_grad_norm and train_args.max_grad_norm > 0:
         components.append(optax.clip_by_global_norm(train_args.max_grad_norm))
-    components.append(
-        optax.adamw(
-            learning_rate=schedule,
-            b1=train_args.adam_beta1,
-            b2=train_args.adam_beta2,
-            eps=train_args.adam_epsilon,
-            weight_decay=train_args.weight_decay,
+    name = getattr(train_args, "optimizer", "adamw")
+    if name == "lamb":
+        # Layer-wise adaptive large-batch optimizer: the reference ANCE
+        # recipe trains with LAMB (v1/retrievers/ANCE/utils/lamb.py,
+        # drivers/run_ann.py --optimizer lamb).
+        components.append(
+            optax.lamb(
+                learning_rate=schedule,
+                b1=train_args.adam_beta1,
+                b2=train_args.adam_beta2,
+                eps=train_args.adam_epsilon,
+                weight_decay=train_args.weight_decay,
+            )
         )
-    )
+    elif name == "adamw":
+        components.append(
+            optax.adamw(
+                learning_rate=schedule,
+                b1=train_args.adam_beta1,
+                b2=train_args.adam_beta2,
+                eps=train_args.adam_epsilon,
+                weight_decay=train_args.weight_decay,
+            )
+        )
+    else:
+        raise ValueError(f"Unknown optimizer '{name}' (expected adamw | lamb)")
     return optax.chain(*components)
 
 

@@ -1,0 +1,114 @@
+"""Microbenchmarks for the exact-MIPS pipeline pieces on the real chip.
+
+Usage: python scripts/perf/micro.py MODE [Q] [N] [K]
+
+One mode per process (big graphs compile slowly over the remote-compile
+tunnel; the persistent cache makes re-runs cheap). Timing uses an on-device
+fori_loop with a value-dependence chain between iterations, so the ~27 ms
+per-dispatch tunnel overhead is amortized and XLA cannot hoist the body.
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    mode = sys.argv[1]
+    Q = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    N = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
+    K = int(sys.argv[4]) if len(sys.argv) > 4 else 1000
+    D = 768
+    ITERS = 10
+
+    from openmatch_tpu.drivers.common import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    corpus = jnp.asarray(rng.randn(N, D).astype(np.float32), jnp.bfloat16)
+    queries = jnp.asarray(rng.randn(Q, D).astype(np.float32), jnp.bfloat16)
+
+    def body_of(fn):
+        """fn(q, corpus) -> array; returns a jitted ITERS-iteration loop."""
+
+        def loop(q, c):
+            def body(i, carry):
+                out = fn(q + carry, c)
+                return carry + out.ravel()[0].astype(jnp.bfloat16) * jnp.bfloat16(1e-30)
+
+            return jax.lax.fori_loop(0, ITERS, body, jnp.bfloat16(0.0))
+
+        return jax.jit(loop)
+
+    if mode == "matmul_f32":
+        fn = lambda q, c: jnp.dot(q, c.T, preferred_element_type=jnp.float32)
+    elif mode == "matmul_bf16":
+        fn = lambda q, c: jnp.dot(q, c.T, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    elif mode == "gmax_xla":
+        def fn(q, c):
+            s = jnp.dot(q, c.T, preferred_element_type=jnp.float32)
+            return s.reshape(Q, N // 8, 8).max(axis=-1)
+    elif mode == "gmax_pallas":
+        from openmatch_tpu.ops.pallas_mips import fused_gmax_only
+
+        fn = lambda q, c: fused_gmax_only(q, c, tile=2048)
+    elif mode.startswith("gmax_pallas_t"):
+        from openmatch_tpu.ops.pallas_mips import fused_gmax_only
+
+        tile = int(mode.split("t")[-1])
+        fn = lambda q, c: fused_gmax_only(q, c, tile=tile)
+    elif mode == "score_gmax_pallas":
+        from openmatch_tpu.ops.pallas_mips import fused_score_gmax
+
+        fn = lambda q, c: fused_score_gmax(q, c, tile=2048)[1]
+    elif mode.startswith("topk_"):
+        W = int(mode.split("_")[1])
+        g = jnp.asarray(rng.randn(Q, W).astype(np.float32))
+
+        def fn(q, c):
+            return jax.lax.top_k(g + q[0, 0].astype(jnp.float32), K)[0]
+    elif mode.startswith("sortval_"):
+        W = int(mode.split("_")[1])
+        g = jnp.asarray(rng.randn(Q, W).astype(np.float32))
+
+        def fn(q, c):
+            return jnp.sort(g + q[0, 0].astype(jnp.float32), axis=-1)
+    elif mode.startswith("approxk_"):
+        W = int(mode.split("_")[1])
+        g = jnp.asarray(rng.randn(Q, W).astype(np.float32))
+
+        def fn(q, c):
+            return jax.lax.approx_max_k(g + q[0, 0].astype(jnp.float32), K)[0]
+    elif mode == "hier2_full":
+        from openmatch_tpu.ops.mips import exact_search
+
+        fn = lambda q, c: exact_search(q, c, k=K, chunk_size=0, method="hier2")[0]
+    elif mode == "rescore_full":
+        from openmatch_tpu.ops.pallas_mips import pallas_hier2_rescore
+
+        fn = lambda q, c: pallas_hier2_rescore(q, c, k=K)[0]
+    else:
+        raise SystemExit(f"unknown mode {mode}")
+
+    loop = body_of(fn)
+    t0 = time.time()
+    r = loop(queries, corpus)
+    np.asarray(r)
+    t_compile = time.time() - t0
+    t0 = time.time()
+    r = loop(queries, corpus)
+    np.asarray(r)
+    dt = (time.time() - t0) / ITERS
+    print(
+        f"{mode}: Q={Q} N={N} K={K}: {dt * 1000:.2f} ms/iter "
+        f"({Q / dt:,.0f} QPS) [first call {t_compile:.0f}s]",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

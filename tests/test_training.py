@@ -154,6 +154,52 @@ class TestRRTrainer:
         assert last < first
 
 
+class TestOptimizer:
+    def test_lamb_trains(self, mesh8):
+        """--optimizer lamb (reference ANCE recipe,
+        v1/retrievers/ANCE/utils/lamb.py) drives the loss down."""
+        model, params = tiny_model()
+        args = TrainingArguments(
+            learning_rate=5e-3, warmup_ratio=0.0, logging_steps=100,
+            save_steps=0, optimizer="lamb",
+        )
+        trainer = DRTrainer(model, params, args, total_steps=12, mesh=mesh8)
+        rng = np.random.RandomState(0)
+        batch = make_batch(rng, n_q=16, n_psg=2)
+        first = float(trainer.train_step(batch))
+        for _ in range(10):
+            last = float(trainer.train_step(batch))
+        assert last < first
+
+    def test_lamb_differs_from_adamw(self):
+        """LAMB's layer-wise trust ratio must produce a different update
+        than AdamW on the same gradients."""
+        from openmatch_tpu.train.state import make_optimizer
+
+        # small param norm -> LAMB trust ratio ||p||/||dir|| << 1 shrinks
+        # the step; AdamW ignores the param norm entirely.
+        params = {"w": jnp.full((4, 4), 0.1), "b": jnp.ones((4,))}
+        grads = {"w": jnp.full((4, 4), 0.5), "b": jnp.full((4,), 0.1)}
+        args_a = TrainingArguments(learning_rate=1e-2, warmup_ratio=0.0)
+        args_l = TrainingArguments(learning_rate=1e-2, warmup_ratio=0.0, optimizer="lamb")
+        outs = []
+        for a in (args_a, args_l):
+            tx = make_optimizer(a, total_steps=10)
+            st = tx.init(params)
+            _, st = tx.update(grads, st, params)  # step 0 has lr=0 (warmup)
+            upd, _ = tx.update(grads, st, params)
+            outs.append(upd)
+        assert not np.allclose(np.asarray(outs[0]["w"]), np.asarray(outs[1]["w"]))
+
+    def test_unknown_optimizer_raises(self):
+        from openmatch_tpu.train.state import make_optimizer
+
+        with pytest.raises(ValueError, match="Unknown optimizer"):
+            make_optimizer(
+                TrainingArguments(optimizer="sgd", warmup_ratio=0.0), total_steps=10
+            )
+
+
 class TestSchedule:
     def test_linear_warmup(self):
         sched = linear_warmup_schedule(1.0, total_steps=100, warmup_steps=10)
