@@ -18,9 +18,9 @@ from ..data.loader import batched
 from ..train.state import TrainState, load_train_state, make_optimizer
 from ..train.v1_trainer import predict_scores
 from ..utils.trec import save_as_trec
-from ..v1.dataset import V1Dataset, WordCollator
+from ..v1.dataset import V1Dataset
 from ..v1.tokenizer import WordTokenizer
-from .train_v1 import build_word_model, word_score_fn
+from .train_v1 import build_v1_model_and_collators
 
 
 def main(argv=None):
@@ -30,6 +30,10 @@ def main(argv=None):
     parser.add_argument("-test", required=True)
     parser.add_argument("-vocab", default=None)
     parser.add_argument("-pretrain", default=None)
+    parser.add_argument("-ent_vocab", default=None, help="entity vocab file (edrm)")
+    parser.add_argument("-max_ent_num", type=int, default=3)
+    parser.add_argument("-max_des_len", type=int, default=20)
+    parser.add_argument("-kernel_dim", type=int, default=128)
     parser.add_argument("-checkpoint", required=True)
     parser.add_argument("-res", required=True)
     parser.add_argument("-mode", default="test", choices=["dev", "test"])
@@ -41,7 +45,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     tokenizer = WordTokenizer(vocab=args.vocab, pretrained=args.pretrain)
-    model, params = build_word_model(args, tokenizer)
+    model, params, score_fn, make_collator = build_v1_model_and_collators(args, tokenizer)
     from ..config import TrainingArguments
 
     tx = make_optimizer(TrainingArguments(), 1)
@@ -49,10 +53,9 @@ def main(argv=None):
     params = load_train_state(args.checkpoint, template).params
 
     dataset = V1Dataset(args.test, mode=args.mode, task=args.task)
-    collator = WordCollator(tokenizer, args.max_query_len, args.max_doc_len,
-                            mode=args.mode, task=args.task)
+    collator = make_collator(args.mode)
     batches = batched(iter(dataset), args.batch_size, collator)
-    result = predict_scores(word_score_fn(model), jax.device_get(params), batches, args.task)
+    result = predict_scores(score_fn, jax.device_get(params), batches, args.task)
     os.makedirs(os.path.dirname(args.res) or ".", exist_ok=True)
     save_as_trec(result, args.res)
     print(f"wrote {len(result)} queries -> {args.res}")

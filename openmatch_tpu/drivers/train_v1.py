@@ -25,7 +25,8 @@ from ..train.v1_trainer import V1Trainer, predict_scores
 from ..utils.metrics import evaluate_run, load_qrels
 from ..utils.trec import save_as_trec
 from ..v1.dataset import V1Dataset, WordCollator
-from ..v1.models import KNRM, TK, ConvKNRM
+from ..v1.long_doc import EDRMCollator
+from ..v1.models import EDRM, KNRM, TK, ConvKNRM
 from ..v1.tokenizer import WordTokenizer
 
 
@@ -51,6 +52,81 @@ def build_word_model(args, tokenizer):
     return model, params
 
 
+def build_edrm_model(args, tokenizer, ent_tokenizer):
+    """EDRM (reference v1/OpenMatch/models/edrm.py:10-74): word channel +
+    entity channel enriched by description convolutions."""
+    wrd_dim = tokenizer.get_embed_dim() if tokenizer.get_embed_dim() > 0 else args.embed_dim
+    model = EDRM(
+        wrd_vocab_size=tokenizer.get_vocab_size(),
+        ent_vocab_size=ent_tokenizer.get_vocab_size(),
+        wrd_embed_dim=wrd_dim,
+        ent_embed_dim=args.kernel_dim,
+        max_des_len=args.max_des_len,
+        max_ent_num=args.max_ent_num,
+        kernel_dim=args.kernel_dim,
+        task=args.task,
+    )
+    B, QL, DL, E, DES = 1, args.max_query_len, args.max_doc_len, args.max_ent_num, args.max_des_len
+    z = lambda *shape: jnp.zeros(shape, jnp.int32)
+    o = lambda *shape: jnp.ones(shape, jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(args.seed),
+        z(B, QL), o(B, QL), z(B, DL), o(B, DL),
+        z(B, E), o(B, E), z(B, E), o(B, E),
+        z(B, E * DES), z(B, E * DES),
+    )["params"]
+    if tokenizer.get_embed_matrix() is not None:
+        params = dict(params)
+        params["wrd_embedder"] = {
+            "embedding": jnp.asarray(np.asarray(tokenizer.get_embed_matrix(), np.float32))
+        }
+    return model, params
+
+
+def edrm_score_fn(model):
+    def fn(params, batch):
+        score, _ = model.apply(
+            {"params": params},
+            batch["query_wrd_idx"], batch["query_wrd_mask"],
+            batch["doc_wrd_idx"], batch["doc_wrd_mask"],
+            batch["query_ent_idx"], batch["query_ent_mask"],
+            batch["doc_ent_idx"], batch["doc_ent_mask"],
+            batch["query_des_idx"], batch["doc_des_idx"],
+        )
+        return score
+
+    return fn
+
+
+def build_v1_model_and_collators(args, tokenizer):
+    """(model, params, score_fn, make_collator) for a word-level v1 model.
+
+    make_collator(mode) builds the matching collator; EDRM needs the
+    entity-aware one (reference v1/train.py:176-194 routes edrm batches
+    through the extra entity tensors)."""
+    if args.model == "edrm":
+        if not getattr(args, "ent_vocab", None):
+            raise ValueError("-model edrm requires -ent_vocab (entity vocab file)")
+        ent_tokenizer = WordTokenizer(vocab=args.ent_vocab, if_swr=False, if_stem=False)
+        model, params = build_edrm_model(args, tokenizer, ent_tokenizer)
+
+        def make_collator(mode):
+            return EDRMCollator(
+                tokenizer, ent_tokenizer, args.max_query_len, args.max_doc_len,
+                args.max_ent_num, args.max_des_len, mode=mode, task=args.task,
+            )
+
+        return model, params, edrm_score_fn(model), make_collator
+
+    model, params = build_word_model(args, tokenizer)
+
+    def make_collator(mode):
+        return WordCollator(tokenizer, args.max_query_len, args.max_doc_len,
+                            mode=mode, task=args.task)
+
+    return model, params, word_score_fn(model), make_collator
+
+
 def word_score_fn(model):
     def fn(params, batch):
         score, _ = model.apply(
@@ -73,6 +149,10 @@ def main(argv=None):
     parser.add_argument("-qrels", default=None)
     parser.add_argument("-vocab", default=None)
     parser.add_argument("-pretrain", default=None, help="GloVe embedding file")
+    parser.add_argument("-ent_vocab", default=None, help="entity vocab file (edrm)")
+    parser.add_argument("-max_ent_num", type=int, default=3)
+    parser.add_argument("-max_des_len", type=int, default=20)
+    parser.add_argument("-kernel_dim", type=int, default=128)
     parser.add_argument("-save", default="./checkpoints/v1")
     parser.add_argument("-res", default="./results/v1.trec")
     parser.add_argument("-metric", default="ndcg_cut_10")
@@ -88,12 +168,10 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     tokenizer = WordTokenizer(vocab=args.vocab, pretrained=args.pretrain)
-    model, params = build_word_model(args, tokenizer)
-    score_fn = word_score_fn(model)
+    model, params, score_fn, make_collator = build_v1_model_and_collators(args, tokenizer)
 
     train_set = V1Dataset(args.train, mode="train", task=args.task, max_input=args.max_input)
-    train_collator = WordCollator(tokenizer, args.max_query_len, args.max_doc_len,
-                                  mode="train", task=args.task)
+    train_collator = make_collator("train")
     steps_per_epoch = max(len(train_set) // args.batch_size, 1)
     total_steps = steps_per_epoch * args.epoch
 
@@ -108,8 +186,7 @@ def main(argv=None):
     eval_fn = None
     if args.dev and args.qrels:
         dev_set = V1Dataset(args.dev, mode="dev", task=args.task, max_input=args.max_input)
-        dev_collator = WordCollator(tokenizer, args.max_query_len, args.max_doc_len,
-                                    mode="dev", task=args.task)
+        dev_collator = make_collator("dev")
         qrels = load_qrels(args.qrels)
 
         def eval_fn(tr):

@@ -85,17 +85,24 @@ class EDRMCollator:
 
     Examples carry optional ``query_ent``/``doc_ent`` (lists of entity
     surface strings) and ``query_des``/``doc_des`` (entity description
-    strings, one per entity); missing entities pad with id 0.
+    strings, one per entity); missing entities pad with id 0. Train-ranking
+    examples instead carry ``doc_pos``/``doc_neg`` (+ ``doc_pos_ent``,
+    ``doc_pos_des``, ``doc_neg_ent``, ``doc_neg_des``), mirroring the
+    reference EDRMDataset pairwise collate
+    (v1/OpenMatch/data/datasets/edrm_dataset.py).
     """
 
     def __init__(self, word_tokenizer, ent_tokenizer, max_query_len: int = 10,
-                 max_doc_len: int = 256, max_ent_num: int = 3, max_des_len: int = 20):
+                 max_doc_len: int = 256, max_ent_num: int = 3, max_des_len: int = 20,
+                 mode: str = "dev", task: str = "ranking"):
         self.wtok = word_tokenizer
         self.etok = ent_tokenizer
         self.q_len = max_query_len
         self.d_len = max_doc_len
         self.max_ent = max_ent_num
         self.des_len = max_des_len
+        self.mode = mode
+        self.task = task
 
     def _entities(self, ents: List[str]):
         ents = (list(ents) + [""] * self.max_ent)[: self.max_ent]
@@ -111,6 +118,20 @@ class EDRMCollator:
             out.extend(ids)
         return out  # [max_ent * des_len]
 
+    def _doc_fields(self, batch: List[dict], out: Dict[str, np.ndarray],
+                    src_prefix: str, dst_prefix: str):
+        """Tokenize one document slot (``doc``/``doc_pos``/``doc_neg``) into
+        ``{dst_prefix}_wrd/ent/des`` arrays."""
+        ids, masks = zip(*[self.wtok.process(e[src_prefix], self.d_len) for e in batch])
+        out[f"{dst_prefix}_wrd_idx"] = np.asarray(ids, np.int32)
+        out[f"{dst_prefix}_wrd_mask"] = np.asarray(masks, np.float32)
+        ent = [self._entities(e.get(f"{src_prefix}_ent", [])) for e in batch]
+        out[f"{dst_prefix}_ent_idx"] = np.asarray([x[0] for x in ent], np.int32)
+        out[f"{dst_prefix}_ent_mask"] = np.asarray([x[1] for x in ent], np.float32)
+        out[f"{dst_prefix}_des_idx"] = np.asarray(
+            [self._descriptions(e.get(f"{src_prefix}_des", [])) for e in batch], np.int32
+        )
+
     def __call__(self, batch: List[dict]) -> Dict[str, np.ndarray]:
         def proc(texts, max_len):
             ids, masks = zip(*[self.wtok.process(t, max_len) for t in texts])
@@ -118,15 +139,22 @@ class EDRMCollator:
 
         out: Dict[str, np.ndarray] = {}
         out["query_wrd_idx"], out["query_wrd_mask"] = proc([e["query"] for e in batch], self.q_len)
-        out["doc_wrd_idx"], out["doc_wrd_mask"] = proc([e["doc"] for e in batch], self.d_len)
         q_ent = [self._entities(e.get("query_ent", [])) for e in batch]
-        d_ent = [self._entities(e.get("doc_ent", [])) for e in batch]
         out["query_ent_idx"] = np.asarray([x[0] for x in q_ent], np.int32)
         out["query_ent_mask"] = np.asarray([x[1] for x in q_ent], np.float32)
-        out["doc_ent_idx"] = np.asarray([x[0] for x in d_ent], np.int32)
-        out["doc_ent_mask"] = np.asarray([x[1] for x in d_ent], np.float32)
         out["query_des_idx"] = np.asarray([self._descriptions(e.get("query_des", [])) for e in batch], np.int32)
-        out["doc_des_idx"] = np.asarray([self._descriptions(e.get("doc_des", [])) for e in batch], np.int32)
-        if "label" in batch[0]:
-            out["label"] = np.asarray([e["label"] for e in batch], np.int32)
+        if self.mode == "train" and self.task == "ranking":
+            self._doc_fields(batch, out, "doc_pos", "doc_pos")
+            self._doc_fields(batch, out, "doc_neg", "doc_neg")
+        else:
+            self._doc_fields(batch, out, "doc", "doc")
+            if "label" in batch[0]:
+                out["label"] = np.asarray([e["label"] for e in batch], np.int32)
+        if "query_id" in batch[0]:
+            out["query_id"] = [e["query_id"] for e in batch]
+            out["doc_id"] = [e.get("doc_id") for e in batch]
+        if "retrieval_score" in batch[0]:
+            out["retrieval_score"] = np.asarray(
+                [e["retrieval_score"] for e in batch], np.float32
+            )
         return out

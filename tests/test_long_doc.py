@@ -96,3 +96,88 @@ class TestEDRMCollator:
         score, logits = model.apply({"params": params}, *args)
         assert score.shape == (1,)
         assert np.isfinite(np.asarray(score)).all()
+
+    def test_train_collate_pos_neg(self, tmp_path):
+        """Train-ranking mode emits doc_pos_*/doc_neg_* tensors that the
+        trainer's pos/neg split maps back onto the model's doc_* inputs
+        (reference v1/train.py:299-311 edrm branch)."""
+        (tmp_path / "wv.txt").write_text("\n".join(["apple", "fruit", "rock"]))
+        (tmp_path / "ev.txt").write_text("APPLE\nROCK")
+        wtok = WordTokenizer(vocab=str(tmp_path / "wv.txt"), if_swr=False, if_stem=False)
+        etok = WordTokenizer(vocab=str(tmp_path / "ev.txt"), if_swr=False, if_stem=False)
+        coll = EDRMCollator(wtok, etok, max_query_len=4, max_doc_len=8,
+                            max_ent_num=2, max_des_len=5, mode="train", task="ranking")
+        batch = coll([{
+            "query": "apple", "doc_pos": "apple fruit", "doc_neg": "rock",
+            "query_ent": ["APPLE"], "doc_pos_ent": ["APPLE"], "doc_neg_ent": ["ROCK"],
+            "query_des": ["apple fruit"], "doc_pos_des": ["apple"], "doc_neg_des": ["rock"],
+        }])
+        from openmatch_tpu.train.v1_trainer import _default_pos_neg_split
+
+        pos, neg = _default_pos_neg_split(batch)
+        for key in ("doc_wrd_idx", "doc_wrd_mask", "doc_ent_idx",
+                    "doc_ent_mask", "doc_des_idx", "query_wrd_idx"):
+            assert key in pos and key in neg, key
+        assert pos["doc_ent_idx"][0, 0] == etok._token2id["APPLE"]
+        assert neg["doc_ent_idx"][0, 0] == etok._token2id["ROCK"]
+
+
+class TestEDRMEndToEnd:
+    def test_train_and_inference_drivers(self, tmp_path):
+        """-model edrm from an entities jsonl through a trained checkpoint
+        to a TREC run (VERDICT r1 item 5; reference v1/train.py edrm path)."""
+        import json
+
+        from openmatch_tpu.drivers import inference_v1, train_v1
+
+        (tmp_path / "wv.txt").write_text("\n".join(
+            ["apple", "fruit", "banana", "rock", "mineral", "stone"]))
+        (tmp_path / "ev.txt").write_text("APPLE\nROCK")
+        train_lines = []
+        for _ in range(8):
+            train_lines.append(json.dumps({
+                "query": "apple fruit", "doc_pos": "apple banana fruit",
+                "doc_neg": "rock mineral stone",
+                "query_ent": ["APPLE"], "doc_pos_ent": ["APPLE"],
+                "doc_neg_ent": ["ROCK"],
+                "query_des": ["apple fruit"], "doc_pos_des": ["banana fruit"],
+                "doc_neg_des": ["rock stone"],
+            }))
+        (tmp_path / "train.jsonl").write_text("\n".join(train_lines))
+        dev_lines = []
+        for did, doc, ents in (("d1", "apple banana fruit", ["APPLE"]),
+                               ("d2", "rock mineral stone", ["ROCK"])):
+            dev_lines.append(json.dumps({
+                "query": "apple fruit", "doc": doc, "label": 1 if did == "d1" else 0,
+                "query_id": "q1", "doc_id": did, "retrieval_score": 1.0,
+                "query_ent": ["APPLE"], "doc_ent": ents,
+                "query_des": ["apple fruit"], "doc_des": ["x"],
+            }))
+        (tmp_path / "dev.jsonl").write_text("\n".join(dev_lines))
+        (tmp_path / "qrels").write_text("q1 0 d1 1\n")
+
+        save = tmp_path / "ckpt"
+        res = tmp_path / "run.trec"
+        common = [
+            "-model", "edrm", "-vocab", str(tmp_path / "wv.txt"),
+            "-ent_vocab", str(tmp_path / "ev.txt"),
+            "-max_query_len", "4", "-max_doc_len", "8",
+            "-max_ent_num", "2", "-max_des_len", "5", "-kernel_dim", "8",
+            "-embed_dim", "8",
+        ]
+        train_v1.main(common + [
+            "-train", str(tmp_path / "train.jsonl"),
+            "-dev", str(tmp_path / "dev.jsonl"), "-qrels", str(tmp_path / "qrels"),
+            "-save", str(save), "-res", str(res),
+            "-epoch", "2", "-batch_size", "8", "-lr", "1e-3", "-eval_every", "100",
+        ])
+        assert (save / "train_state.msgpack").exists()
+        assert res.exists() and res.read_text().strip()
+
+        res2 = tmp_path / "run2.trec"
+        inference_v1.main(common + [
+            "-test", str(tmp_path / "dev.jsonl"), "-mode", "dev",
+            "-checkpoint", str(save), "-res", str(res2),
+        ])
+        lines = res2.read_text().strip().splitlines()
+        assert len(lines) == 2 and all("q1" in ln for ln in lines)
