@@ -1,21 +1,29 @@
-"""Retrieval serving: hold the model + index resident, answer queries.
+"""Retrieval + rerank serving: hold models + index resident, answer HTTP.
 
 The reference has no serving story (batch TREC runs only); this driver
 closes the gap for the production path the framework targets: a DR
 checkpoint + corpus embedding shards live in HBM behind a compiled
-``Searcher``, queries arrive over HTTP, and responses are JSON.
+``Searcher``, an optional cross-encoder (BERT head or monoT5,
+retriever/reranker.py semantics) scores (query, doc) pairs, and responses
+are JSON.
 
     python -m openmatch_tpu.drivers.serve \
         --model_name_or_path ckpt_dr --encoded_save_path embeddings/ \
+        [--rr_model_name_or_path ckpt_rr] \
         --port 8080 [--retrieve_depth 100] [--max_batch 64]
 
     GET  /health
     POST /search   {"queries": ["...", ...], "k": 10}
       -> {"results": [[{"id": ..., "score": ...}, ...], ...]}
+    POST /rerank   {"query": "...", "docs": [{"id": "d1", "text": "..."}, ...]}
+      -> {"results": [{"id": ..., "score": ...}, ...]}   # log P(rel), desc
 
-Design notes: one worker thread owns the TPU (JAX programs are not
-thread-safe to call concurrently); HTTP handlers enqueue and wait. Queries
-are padded into the fixed compiled batch shape so XLA never recompiles
+Either endpoint can run alone: --encoded_save_path enables /search,
+--rr_model_name_or_path enables /rerank.
+
+Design notes: one worker thread owns the TPU per service (JAX programs are
+not thread-safe to call concurrently); HTTP handlers enqueue and wait.
+Inputs are padded into fixed compiled batch shapes so XLA never recompiles
 after warmup.
 """
 
@@ -34,7 +42,32 @@ from ..ops.mips import Searcher
 from .common import load_tokenizer, setup_logging
 
 
-class RetrievalService:
+class _QueueService:
+    """Single-consumer work queue: one thread owns the device per service."""
+
+    def _start_worker(self):
+        self._queue: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while True:
+            args, reply = self._queue.get()
+            try:
+                reply.put(("ok", self._run(*args)))
+            except Exception as e:  # surface errors to the caller
+                reply.put(("error", str(e)))
+
+    def _submit(self, *args):
+        reply: "queue.Queue" = queue.Queue()
+        self._queue.put((args, reply))
+        status, payload = reply.get()
+        if status == "error":
+            raise RuntimeError(payload)
+        return payload
+
+
+class RetrievalService(_QueueService):
     """Compiled encode+search behind a single-consumer queue."""
 
     def __init__(self, model, params, tokenizer, searcher, doc_ids,
@@ -47,7 +80,6 @@ class RetrievalService:
         self.searcher = searcher
         self.q_max_len = q_max_len
         self.max_batch = max_batch
-        self._queue: "queue.Queue" = queue.Queue()
 
         @jax.jit
         def encode(p, ids, mask):
@@ -56,8 +88,7 @@ class RetrievalService:
         self._encode = encode
         self._params = params
         self._jnp = jnp
-        self._thread = threading.Thread(target=self._worker, daemon=True)
-        self._thread.start()
+        self._start_worker()
 
     def warmup(self):
         self.search(["warmup"], k=1)
@@ -92,14 +123,6 @@ class RetrievalService:
             for r in range(n)
         ]
 
-    def _worker(self):
-        while True:
-            queries, k, reply = self._queue.get()
-            try:
-                reply.put(("ok", self._run(queries, k)))
-            except Exception as e:  # surface errors to the caller
-                reply.put(("error", str(e)))
-
     def search(self, queries, k: int = 10):
         if not queries:
             return []
@@ -108,15 +131,70 @@ class RetrievalService:
             for i in range(0, len(queries), self.max_batch):
                 out.extend(self.search(queries[i : i + self.max_batch], k))
             return out
-        reply: "queue.Queue" = queue.Queue()
-        self._queue.put((queries, k, reply))
-        status, payload = reply.get()
-        if status == "error":
-            raise RuntimeError(payload)
-        return payload
+        return self._submit(queries, k)
 
 
-def make_handler(service: RetrievalService, default_k: int):
+class RerankService(_QueueService):
+    """Compiled cross-encoder pair scoring behind a single-consumer queue.
+
+    Semantics match the batch rerank runtime (retriever/reranker.py:
+    RRModel.score -> relevance_logprob, i.e. 2-column outputs log-softmaxed
+    to log P(relevant), 1-column raw)."""
+
+    def __init__(self, model, params, tokenizer, q_max_len: int,
+                 p_max_len: int, max_batch: int):
+        import jax
+        import jax.numpy as jnp
+
+        self.tokenizer = tokenizer
+        self.max_len = q_max_len + p_max_len + 2
+        self.max_batch = max_batch
+
+        @jax.jit
+        def score(p, ids, mask, segs):
+            s = model.score(p, ids, mask, segs)
+            return model.relevance_logprob(s)
+
+        self._score = score
+        self._params = params
+        self._jnp = jnp
+        self._start_worker()
+
+    def warmup(self):
+        self.rerank("warmup", [{"id": "w", "text": "warmup"}])
+
+    def _run(self, query: str, docs):
+        from ..data.collators import pad_ids
+        from ..retriever.reranker import encode_pair
+
+        jnp = self._jnp
+        pad_id = self.tokenizer.pad_token_id or 0
+        scores = np.empty(len(docs), np.float32)
+        for start in range(0, len(docs), self.max_batch):
+            chunk = docs[start : start + self.max_batch]
+            pairs = [encode_pair(self.tokenizer, query, d["text"], self.max_len)
+                     for d in chunk]
+            pairs = pairs + [pairs[-1]] * (self.max_batch - len(chunk))
+            batch = pad_ids([p[0] for p in pairs], self.max_len, pad_id)
+            segs = np.zeros_like(batch["input_ids"])
+            for i, (_, s) in enumerate(pairs):
+                s = s[: self.max_len]
+                segs[i, : len(s)] = s
+            out = self._score(
+                self._params, jnp.asarray(batch["input_ids"]),
+                jnp.asarray(batch["attention_mask"]), jnp.asarray(segs),
+            )
+            scores[start : start + len(chunk)] = np.asarray(out, np.float32)[: len(chunk)]
+        order = np.argsort(-scores, kind="stable")
+        return [{"id": docs[int(i)]["id"], "score": float(scores[int(i)])} for i in order]
+
+    def rerank(self, query: str, docs):
+        if not docs:
+            return []
+        return self._submit(query, docs)
+
+
+def make_handler(service, default_k: int, rerank_service=None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):
             pass
@@ -131,30 +209,59 @@ def make_handler(service: RetrievalService, default_k: int):
 
         def do_GET(self):
             if self.path == "/health":
-                self._send(200, {"status": "ok", "num_docs": service.searcher.n_docs})
+                payload = {"status": "ok",
+                           "endpoints": (["/search"] if service else [])
+                                        + (["/rerank"] if rerank_service else [])}
+                if service:
+                    payload["num_docs"] = service.searcher.n_docs
+                self._send(200, payload)
             else:
                 self._send(404, {"error": "unknown path"})
 
+        def _handle_search(self, req):
+            if service is None:
+                self._send(404, {"error": "/search not enabled (no --encoded_save_path)"})
+                return
+            queries = req.get("queries")
+            if not isinstance(queries, list) or not all(isinstance(q, str) for q in queries):
+                self._send(400, {"error": "'queries' must be a list of strings"})
+                return
+            k = int(req.get("k", default_k))
+            max_k = service.searcher.k
+            if k < 1 or k > max_k:
+                self._send(400, {"error": f"'k' must be in [1, {max_k}] "
+                                          "(the index was built with "
+                                          f"retrieve_depth={max_k})"})
+                return
+            self._send(200, {"results": service.search(queries, k=k)})
+
+        def _handle_rerank(self, req):
+            if rerank_service is None:
+                self._send(404, {"error": "/rerank not enabled (no --rr_model_name_or_path)"})
+                return
+            query = req.get("query")
+            docs = req.get("docs")
+            if not isinstance(query, str):
+                self._send(400, {"error": "'query' must be a string"})
+                return
+            if (not isinstance(docs, list) or not docs
+                    or not all(isinstance(d, dict) and "id" in d and
+                               isinstance(d.get("text"), str) for d in docs)):
+                self._send(400, {"error": "'docs' must be a non-empty list of "
+                                          "{'id': ..., 'text': str} objects"})
+                return
+            self._send(200, {"results": rerank_service.rerank(query, docs)})
+
         def do_POST(self):
-            if self.path != "/search":
+            routes = {"/search": self._handle_search, "/rerank": self._handle_rerank}
+            handler = routes.get(self.path)
+            if handler is None:
                 self._send(404, {"error": "unknown path"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                queries = req.get("queries")
-                if not isinstance(queries, list) or not all(isinstance(q, str) for q in queries):
-                    self._send(400, {"error": "'queries' must be a list of strings"})
-                    return
-                k = int(req.get("k", default_k))
-                max_k = service.searcher.k
-                if k < 1 or k > max_k:
-                    self._send(400, {"error": f"'k' must be in [1, {max_k}] "
-                                              "(the index was built with "
-                                              f"retrieve_depth={max_k})"})
-                    return
-                results = service.search(queries, k=k)
-                self._send(200, {"results": results})
+                handler(req)
             except json.JSONDecodeError:
                 self._send(400, {"error": "invalid JSON body"})
             except Exception as e:
@@ -183,6 +290,19 @@ def build_service(model_args, data_args, infer_args, max_batch: int) -> Retrieva
     )
 
 
+def build_rerank_service(rr_path: str, data_args, max_batch: int) -> "RerankService":
+    from ..models.rr_model import RRModel
+
+    rr_model_args = ModelArguments(model_name_or_path=rr_path)
+    tokenizer = load_tokenizer(rr_model_args)
+    model, params = RRModel.build(rr_model_args, tokenizer=tokenizer)
+    return RerankService(
+        model, params, tokenizer,
+        q_max_len=data_args.q_max_len, p_max_len=data_args.p_max_len,
+        max_batch=max_batch,
+    )
+
+
 def main(argv=None):
     import argparse
 
@@ -191,6 +311,8 @@ def main(argv=None):
     extra = argparse.ArgumentParser()
     extra.add_argument("--port", type=int, default=8080)
     extra.add_argument("--max_batch", type=int, default=64)
+    extra.add_argument("--rr_model_name_or_path", default=None,
+                       help="cross-encoder checkpoint enabling POST /rerank")
     argv_list = list(argv) if argv is not None else None
     if argv_list is None:
         import sys
@@ -199,10 +321,27 @@ def main(argv=None):
     extra_args, rest = extra.parse_known_args(argv_list)
     model_args, data_args, infer_args = parser.parse(rest)
 
-    service = build_service(model_args, data_args, infer_args, extra_args.max_batch)
-    service.warmup()
-    server = ThreadingHTTPServer(("0.0.0.0", extra_args.port), make_handler(service, infer_args.retrieve_depth))
-    print(f"serving {service.searcher.n_docs} docs on :{extra_args.port}")
+    service = None
+    if infer_args.encoded_save_path:
+        service = build_service(model_args, data_args, infer_args, extra_args.max_batch)
+        service.warmup()
+    rerank_service = None
+    if extra_args.rr_model_name_or_path:
+        rerank_service = build_rerank_service(
+            extra_args.rr_model_name_or_path, data_args, extra_args.max_batch
+        )
+        rerank_service.warmup()
+    if service is None and rerank_service is None:
+        raise ValueError(
+            "nothing to serve: pass --encoded_save_path (retrieval) and/or "
+            "--rr_model_name_or_path (rerank)"
+        )
+    server = ThreadingHTTPServer(
+        ("0.0.0.0", extra_args.port),
+        make_handler(service, infer_args.retrieve_depth, rerank_service),
+    )
+    endpoints = (["/search"] if service else []) + (["/rerank"] if rerank_service else [])
+    print(f"serving {'+'.join(endpoints)} on :{extra_args.port}")
     server.serve_forever()
 
 

@@ -11,7 +11,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from openmatch_tpu.drivers.serve import RetrievalService, make_handler
+from openmatch_tpu.drivers.serve import RerankService, RetrievalService, make_handler
 from openmatch_tpu.models.bert import BertConfig
 from openmatch_tpu.models.dr_model import DRModel
 from openmatch_tpu.ops.mips import Searcher
@@ -49,6 +49,26 @@ def service(tmp_path_factory):
                             [f"d{i}" for i in range(8)], q_max_len=8, max_batch=4)
 
 
+@pytest.fixture(scope="module")
+def rerank_service(tmp_path_factory):
+    from transformers import BertTokenizerFast
+
+    from openmatch_tpu.models.rr_model import RRModel
+
+    d = tmp_path_factory.mktemp("rr_tok")
+    topics = [f"topic{i}" for i in range(4)]
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "about", "document", "query"] + topics
+    (d / "vocab.txt").write_text("\n".join(vocab))
+    tokenizer = BertTokenizerFast(vocab_file=str(d / "vocab.txt"))
+
+    cfg = BertConfig(vocab_size=32, hidden_size=16, num_hidden_layers=1,
+                     num_attention_heads=2, intermediate_size=32,
+                     max_position_embeddings=32, add_pooler=False)
+    model = RRModel(encoder_config=cfg, head_in_dim=16)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return RerankService(model, params, tokenizer, q_max_len=6, p_max_len=8, max_batch=2)
+
+
 class TestService:
     def test_identity_retrieval(self, service):
         results = service.search(["document about topic3"], k=3)
@@ -64,10 +84,47 @@ class TestService:
         assert service.search([], k=5) == []
 
 
+class TestRerankService:
+    def test_scores_match_direct_model(self, rerank_service):
+        """Service scores == unbatched RRModel.score->relevance_logprob on
+        the same pairs (the batch runtime semantics, reranker.py:114-115),
+        and results come back sorted descending."""
+        import jax.numpy as jnp2
+
+        from openmatch_tpu.retriever.reranker import encode_pair
+
+        svc = rerank_service
+        docs = [{"id": f"d{i}", "text": f"document about topic{i}"} for i in range(3)]
+        results = svc.rerank("query about topic1", docs)
+        assert sorted(r["id"] for r in results) == ["d0", "d1", "d2"]
+        scores = [r["score"] for r in results]
+        assert scores == sorted(scores, reverse=True)
+
+        by_id = {r["id"]: r["score"] for r in results}
+        for d in docs:
+            ids, segs = encode_pair(svc.tokenizer, "query about topic1",
+                                    d["text"], svc.max_len)
+            pad = svc.max_len - len(ids)
+            ids_a = jnp2.asarray([ids + [0] * pad])
+            mask = jnp2.asarray([[1] * len(ids) + [0] * pad])
+            segs_a = jnp2.asarray([list(segs) + [0] * pad])
+            direct = float(np.asarray(svc._score(svc._params, ids_a, mask, segs_a))[0])
+            assert by_id[d["id"]] == pytest.approx(direct, rel=1e-4)
+
+    def test_chunking_beyond_max_batch(self, rerank_service):
+        docs = [{"id": f"d{i}", "text": f"document about topic{i % 4}"} for i in range(5)]
+        results = rerank_service.rerank("query", docs)  # max_batch=2 -> 3 chunks
+        assert len(results) == 5
+
+    def test_empty(self, rerank_service):
+        assert rerank_service.rerank("q", []) == []
+
+
 class TestHTTP:
     @pytest.fixture(scope="class")
-    def server(self, service):
-        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service, 4))
+    def server(self, service, rerank_service):
+        httpd = ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_handler(service, 4, rerank_service))
         t = threading.Thread(target=httpd.serve_forever, daemon=True)
         t.start()
         yield f"http://127.0.0.1:{httpd.server_port}"
@@ -113,3 +170,48 @@ class TestHTTP:
             assert False
         except urllib.error.HTTPError as e:
             assert e.code == 404
+
+    def test_rerank_endpoint(self, server):
+        status, body = self._post_path(server, "/rerank", {
+            "query": "query about topic1",
+            "docs": [{"id": "a", "text": "document about topic0"},
+                     {"id": "b", "text": "document about topic1"}],
+        })
+        assert status == 200
+        assert sorted(r["id"] for r in body["results"]) == ["a", "b"]
+        scores = [r["score"] for r in body["results"]]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_rerank_bad_payloads(self, server):
+        status, body = self._post_path(server, "/rerank", {"query": 1, "docs": []})
+        assert status == 400 and "query" in body["error"]
+        status, body = self._post_path(server, "/rerank",
+                                       {"query": "q", "docs": [{"text": "no id"}]})
+        assert status == 400 and "docs" in body["error"]
+
+    def test_rerank_404_when_disabled(self, service):
+        httpd = ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_handler(service, 4, rerank_service=None))
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        url = f"http://127.0.0.1:{httpd.server_port}"
+        try:
+            status, body = self._post_path(url, "/rerank",
+                                           {"query": "q", "docs": [{"id": "a", "text": "t"}]})
+            assert status == 404 and "not enabled" in body["error"]
+            with urllib.request.urlopen(url + "/health") as resp:
+                health = json.loads(resp.read())
+            assert health["endpoints"] == ["/search"]
+        finally:
+            httpd.shutdown()
+
+    def _post_path(self, url, path, payload):
+        req = urllib.request.Request(
+            url + path, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
