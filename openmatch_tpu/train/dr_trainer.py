@@ -34,7 +34,8 @@ from ..config import TrainingArguments
 from ..losses import dual_contrastive_loss, simple_contrastive_loss
 from ..models.dr_model import DRModel
 from ..parallel.grad_cache import grad_cache_value_and_grad
-from ..parallel.mesh import DATA_AXIS, make_mesh, shard_batch
+from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh, shard_batch
+from ..parallel.tp import place_params
 from .state import TrainState, latest_checkpoint, load_train_state, make_optimizer, save_train_state
 
 logger = logging.getLogger(__name__)
@@ -54,16 +55,39 @@ class DRTrainer:
         self.mesh = mesh if mesh is not None else make_mesh(train_args.dp_size, train_args.tp_size)
         self.total_steps = total_steps
 
+        self.tp_size = self.mesh.shape.get(MODEL_AXIS, 1)
+        if self.tp_size > 1 and (train_args.grad_cache or not train_args.negatives_x_device):
+            raise ValueError(
+                "tensor parallelism (tp_size > 1) requires the global-"
+                "negatives jit path: set negatives_x_device=True and "
+                "grad_cache=False (the shard_map paths assume replicated "
+                "params)"
+            )
+
         tx = make_optimizer(train_args, total_steps)
         with self.mesh:
             # private copy: the step function donates the state, and the
             # replicated array may alias the caller's buffers
-            state = TrainState.create(jax.tree.map(lambda x: jnp.array(x, copy=True), params), tx)
-            # replicate params/opt state across the mesh
-            rep = NamedSharding(self.mesh, P())
-            state = jax.tree.map(
-                lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x, state
-            )
+            params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+            if self.tp_size > 1:
+                # Megatron-style specs over the "model" axis; the optimizer
+                # state inherits the placement through jit propagation
+                # (zeros_like(p) carries p's sharding).
+                params = place_params(params, self.mesh)
+                opt_state = jax.jit(tx.init)(params)
+                state = TrainState(
+                    step=jnp.zeros((), jnp.int32), params=params,
+                    opt_state=opt_state, tx=tx,
+                )
+                rep = NamedSharding(self.mesh, P())
+                state = state.replace(step=jax.device_put(state.step, rep))
+            else:
+                state = TrainState.create(params, tx)
+                # replicate params/opt state across the mesh
+                rep = NamedSharding(self.mesh, P())
+                state = jax.tree.map(
+                    lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x, state
+                )
         self.state = state
         self._step_fn = self._build_step()
 
