@@ -222,6 +222,23 @@ class ArgumentParser:
             raise ValueError(f"Unknown config keys: {sorted(unknown)}")
         return tuple(outputs)
 
+    def format_help(self) -> str:
+        lines = []
+        for dtype in self.dataclass_types:
+            lines.append(f"{dtype.__name__}:")
+            for f in dataclasses.fields(dtype):
+                default = f.default if f.default is not dataclasses.MISSING else ""
+                help_txt = (f.metadata or {}).get("help", "")
+                entry = f"  --{f.name}"
+                if default not in ("", None):
+                    entry += f" (default: {default})"
+                if help_txt:
+                    entry += f"  {help_txt}"
+                lines.append(entry)
+            lines.append("")
+        lines.append("Alternatively pass a single path to a .json config file.")
+        return "\n".join(lines)
+
     def parse_args(self, args: List[str]) -> Tuple:
         # flags --name value  or  --name (bool true)  or --name=value
         data = {}
@@ -231,6 +248,9 @@ class ArgumentParser:
         }
         while i < len(args):
             tok = args[i]
+            if tok in ("--help", "-h"):
+                print(self.format_help())
+                raise SystemExit(0)
             if not tok.startswith("--"):
                 raise ValueError(f"Expected flag, got {tok!r}")
             if "=" in tok:

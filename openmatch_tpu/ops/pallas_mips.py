@@ -54,40 +54,55 @@ def _slab_gmax(scores_tile: jnp.ndarray) -> jnp.ndarray:
     return g
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
+@functools.partial(jax.jit, static_argnames=("tile", "tile_q"))
 def fused_score_gmax(
-    queries: jnp.ndarray, corpus: jnp.ndarray, tile: int = 2048
+    queries: jnp.ndarray, corpus: jnp.ndarray, tile: int = 2048, tile_q: int = 256
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(scores [Q, N] f32, gmax [Q, N/8] f32) with strided groups per tile."""
+    """(scores [Q, N] f32, gmax [Q, N/8] f32) with strided groups per tile.
+
+    2D grid (corpus tile outer, query block inner): the corpus streams
+    through VMEM exactly once while each [tile_q, D] query block revisits
+    it; smaller per-step blocks leave room for Mosaic's double buffering
+    (a Q=512-row score block at tile 2048 is 4 MB fp32 — two of those plus
+    two corpus tiles overflow a 16 MB VMEM and serialize the pipeline,
+    which is why the 1D-grid r1 kernel lost to XLA)."""
     Q, D = queries.shape
     N = corpus.shape[0]
     assert N % tile == 0 and tile % (GROUP * 128) == 0, (N, tile)
-    return pl.pallas_call(
+    q_pad = (-Q) % tile_q
+    if q_pad:
+        queries = jnp.pad(queries, ((0, q_pad), (0, 0)))
+    Qp = Q + q_pad
+    scores, gmax = pl.pallas_call(
         _score_gmax_kernel,
-        grid=(N // tile,),
+        grid=(N // tile, Qp // tile_q),
         in_specs=[
-            pl.BlockSpec((Q, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, D), lambda n, qb: (qb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, D), lambda n, qb: (n, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((Q, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Q, tile // GROUP), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, tile), lambda n, qb: (qb, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, tile // GROUP), lambda n, qb: (qb, n), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Q, N), jnp.float32),
-            jax.ShapeDtypeStruct((Q, N // GROUP), jnp.float32),
+            jax.ShapeDtypeStruct((Qp, N), jnp.float32),
+            jax.ShapeDtypeStruct((Qp, N // GROUP), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * Q * N * D,
-            bytes_accessed=Q * D * 2 + N * D * 2 + Q * N * 4,
+            flops=2 * Qp * N * D,
+            bytes_accessed=Qp * D * 2 + N * D * 2 + Qp * N * 4,
             transcendentals=0,
         ),
     )(queries, corpus)
+    if q_pad:
+        scores, gmax = scores[:Q], gmax[:Q]
+    return scores, gmax
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile"))
+@functools.partial(jax.jit, static_argnames=("k", "tile", "tile_q"))
 def pallas_hier2_search(
-    queries: jnp.ndarray, corpus: jnp.ndarray, k: int = 1000, tile: int = 2048
+    queries: jnp.ndarray, corpus: jnp.ndarray, k: int = 1000, tile: int = 2048,
+    tile_q: int = 256,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k: Pallas fused scoring + three-level selection.
 
@@ -105,7 +120,7 @@ def pallas_hier2_search(
     n_tiles = Np // tile
     n_groups = Np // GROUP
 
-    scores, gmax = fused_score_gmax(queries, corpus, tile)
+    scores, gmax = fused_score_gmax(queries, corpus, tile, tile_q)
     neg_inf = jnp.finfo(jnp.float32).min
     if pad:
         # zero-padded corpus rows score 0; mask them and re-derive the last
@@ -157,32 +172,43 @@ def _gmax_only_kernel(q_ref, c_ref, g_ref):
     g_ref[:] = g
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
-def fused_gmax_only(queries: jnp.ndarray, corpus: jnp.ndarray, tile: int = 2048) -> jnp.ndarray:
-    """gmax [Q, N/8] f32 with strided groups per tile; scores never stored."""
+@functools.partial(jax.jit, static_argnames=("tile", "tile_q"))
+def fused_gmax_only(
+    queries: jnp.ndarray, corpus: jnp.ndarray, tile: int = 2048, tile_q: int = 256
+) -> jnp.ndarray:
+    """gmax [Q, N/8] f32 with strided groups per tile; scores never stored.
+    Same 2D (corpus tile, query block) grid as fused_score_gmax."""
     Q, D = queries.shape
     N = corpus.shape[0]
     assert N % tile == 0 and tile % (GROUP * 128) == 0, (N, tile)
-    return pl.pallas_call(
+    q_pad = (-Q) % tile_q
+    if q_pad:
+        queries = jnp.pad(queries, ((0, q_pad), (0, 0)))
+    Qp = Q + q_pad
+    gmax = pl.pallas_call(
         _gmax_only_kernel,
-        grid=(N // tile,),
+        grid=(N // tile, Qp // tile_q),
         in_specs=[
-            pl.BlockSpec((Q, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, D), lambda n, qb: (qb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, D), lambda n, qb: (n, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((Q, tile // GROUP), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Q, N // GROUP), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (tile_q, tile // GROUP), lambda n, qb: (qb, n), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Qp, N // GROUP), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Q * N * D,
-            bytes_accessed=Q * D * 2 + N * D * 2 + Q * (N // GROUP) * 4,
+            flops=2 * Qp * N * D,
+            bytes_accessed=Qp * D * 2 + N * D * 2 + Qp * (N // GROUP) * 4,
             transcendentals=0,
         ),
     )(queries, corpus)
+    return gmax[:Q] if q_pad else gmax
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile"))
+@functools.partial(jax.jit, static_argnames=("k", "tile", "tile_q"))
 def pallas_hier2_rescore(
-    queries: jnp.ndarray, corpus: jnp.ndarray, k: int = 1000, tile: int = 2048
+    queries: jnp.ndarray, corpus: jnp.ndarray, k: int = 1000, tile: int = 2048,
+    tile_q: int = 256,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k WITHOUT materializing the score matrix.
 
@@ -217,7 +243,7 @@ def pallas_hier2_rescore(
 
         return exact_search(queries, corpus, k=k)
 
-    gmax = fused_gmax_only(queries, corpus[:aligned], tile)
+    gmax = fused_gmax_only(queries, corpus[:aligned], tile, tile_q)
     if r:
         # tail tile in XLA: honest strided maxima over masked scores
         tail_scores = jnp.dot(queries, corpus[aligned:].T,

@@ -61,6 +61,26 @@ def main():
 
         tile = int(mode.split("t")[-1])
         fn = lambda q, c: fused_gmax_only(q, c, tile=tile)
+    elif mode.startswith("gp_"):  # gp_<tile>_<tile_q>: gmax-only sweep
+        from openmatch_tpu.ops.pallas_mips import fused_gmax_only
+
+        _, t, tq = mode.split("_")
+        fn = lambda q, c: fused_gmax_only(q, c, tile=int(t), tile_q=int(tq))
+    elif mode.startswith("sgp_"):  # sgp_<tile>_<tile_q>: score+gmax sweep
+        from openmatch_tpu.ops.pallas_mips import fused_score_gmax
+
+        _, t, tq = mode.split("_")
+        fn = lambda q, c: fused_score_gmax(q, c, tile=int(t), tile_q=int(tq))[1]
+    elif mode.startswith("pallas_full_"):  # pallas_full_<tile>_<tile_q>
+        from openmatch_tpu.ops.pallas_mips import pallas_hier2_search
+
+        _, _, t, tq = mode.split("_")
+        fn = lambda q, c: pallas_hier2_search(q, c, k=K, tile=int(t), tile_q=int(tq))[0]
+    elif mode.startswith("rescore_full_"):  # rescore_full_<tile>_<tile_q>
+        from openmatch_tpu.ops.pallas_mips import pallas_hier2_rescore
+
+        _, _, t, tq = mode.split("_")
+        fn = lambda q, c: pallas_hier2_rescore(q, c, k=K, tile=int(t), tile_q=int(tq))[0]
     elif mode == "score_gmax_pallas":
         from openmatch_tpu.ops.pallas_mips import fused_score_gmax
 
