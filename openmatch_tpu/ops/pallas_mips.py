@@ -12,8 +12,10 @@ m = 0..7 — making the group max an elementwise max of 8 contiguous
 needs a fixed partition of columns into groups plus invertible index math,
 so strided groups are as exact as contiguous ones.
 
-Feeds the exact three-level selection (same covering argument as
-ops/mips.py `hier2`). See /opt/skills/guides/pallas_guide.md.
+Feeds the exact max-pyramid selection (_select_groups; same covering
+argument as ops/mips.py `hier2`, applied per level, so no lax.top_k input
+is wider than fanout*k at any corpus size). See
+/opt/skills/guides/pallas_guide.md.
 """
 
 from __future__ import annotations
@@ -99,12 +101,55 @@ def fused_score_gmax(
     return scores, gmax
 
 
+def _select_groups(gmax: jnp.ndarray, k: int, fanout: int = 8) -> jnp.ndarray:
+    """Exact top-k GROUP selection from per-group maxima via a max pyramid.
+
+    Builds coarser maxima levels (width/8 each) until one more level would
+    have <= k entries, top-k's the coarsest level, then expands back down:
+    at each level, gather the fanout*k member maxima of the selected
+    parents and keep the top k. Exactness per level is the hier covering
+    argument (ops/mips.py:_hier_topk): any true top-k column forces its
+    ancestor's max >= s_k, and at most k ancestors can satisfy that.
+
+    Shrinks the widest lax.top_k input from n_groups to <= fanout*k
+    regardless of corpus size — at 8.8M docs the 2-level scheme would sort
+    a 137k-wide array per query; the pyramid sorts nothing wider than 8k.
+
+    gmax: [Q, n_groups] f32. Returns group ids [Q, k] (unsorted order of
+    a sorted-by-max selection; the caller re-ranks candidates anyway).
+    """
+    Q, W = gmax.shape
+    neg_inf = jnp.finfo(jnp.float32).min
+    levels = [gmax]
+    while levels[-1].shape[1] // fanout > k:
+        cur = levels[-1]
+        w = cur.shape[1]
+        pad = (-w) % fanout
+        if pad:
+            cur = jnp.pad(cur, ((0, 0), (0, pad)), constant_values=neg_inf)
+        levels[-1] = cur  # keep the padded version for the expansion pass
+        levels.append(cur.reshape(Q, -1, fanout).max(axis=-1))
+
+    _, ids = jax.lax.top_k(levels[-1], min(k, levels[-1].shape[1]))
+    if ids.shape[1] < k:  # tiny corpus: every coarse entry selected
+        ids = jnp.pad(ids, ((0, 0), (0, k - ids.shape[1])), mode="edge")
+    fan_offsets = jnp.arange(fanout, dtype=jnp.int32)
+    for lvl in reversed(levels[:-1]):
+        member_vals = jnp.take_along_axis(
+            lvl.reshape(Q, -1, fanout), ids[:, :, None], axis=1
+        ).reshape(Q, fanout * k)
+        member_ids = (ids[:, :, None] * fanout + fan_offsets).reshape(Q, fanout * k)
+        _, pos = jax.lax.top_k(member_vals, k)
+        ids = jnp.take_along_axis(member_ids, pos, axis=1)
+    return ids
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tile", "tile_q"))
 def pallas_hier2_search(
     queries: jnp.ndarray, corpus: jnp.ndarray, k: int = 1000, tile: int = 2048,
     tile_q: int = 256,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact top-k: Pallas fused scoring + three-level selection.
+    """Exact top-k: Pallas fused scoring + max-pyramid selection.
 
     Result set identical to exact_search(..., method="hier2") (ties aside).
     Corpus rows padded to a tile multiple internally.
@@ -130,21 +175,13 @@ def pallas_hier2_search(
         last = (n_tiles - 1) * tile
         gmax = gmax.at[:, (n_tiles - 1) * gw :].set(_slab_gmax(scores[:, last:]))
 
-    n_super = n_groups // 8
-    if n_super <= k or n_groups % 8:
+    if n_groups // 8 <= k or n_groups % 8:
         from .mips import _hier_topk
 
         # fall back to the plain exact path on the masked scores
         return _hier_topk(scores, k)
 
-    smax = gmax.reshape(Q, n_super, 8).max(axis=-1)
-    _, si = jax.lax.top_k(smax, k)
-    member_g = jnp.take_along_axis(
-        gmax.reshape(Q, n_super, 8), si[:, :, None], axis=1
-    ).reshape(Q, 8 * k)
-    member_ids = (si[:, :, None] * 8 + jnp.arange(8, dtype=jnp.int32)).reshape(Q, 8 * k)
-    _, pos = jax.lax.top_k(member_g, k)
-    gi = jnp.take_along_axis(member_ids, pos, axis=1)  # global group ids [Q, k]
+    gi = _select_groups(gmax, k)  # global group ids [Q, k]
 
     # strided-group member columns: tile_id*tile + within + m*gw
     tile_id = gi // gw
@@ -216,7 +253,7 @@ def pallas_hier2_rescore(
     only large intermediate is [Q, N/8] fp32, 8x smaller than scores); the
     sub-tile tail is scored in plain XLA with -inf masking so pad rows can
     never inflate a group max and steal a selection slot (adversarially
-    tested). Phase B: three-level exact selection on the group maxima.
+    tested). Phase B: max-pyramid exact selection on the group maxima.
     Phase C: gather the k*8 candidate corpus rows per query and rescore in
     fp32 (exact: bf16 inputs, fp32 accumulation like every other path).
 
@@ -237,8 +274,7 @@ def pallas_hier2_rescore(
     Np = n_tiles * tile
     n_groups = Np // GROUP
 
-    n_super = n_groups // 8
-    if n_super <= k or n_full == 0:
+    if n_groups // 8 <= k or n_full == 0:
         from .mips import exact_search
 
         return exact_search(queries, corpus, k=k)
@@ -253,14 +289,7 @@ def pallas_hier2_rescore(
         gmax = jnp.concatenate([gmax, _slab_gmax(tail_scores)], axis=1)
         corpus = jnp.pad(corpus, ((0, tile - r), (0, 0)))  # for the gather
 
-    smax = gmax.reshape(Q, n_super, 8).max(axis=-1)
-    _, si = jax.lax.top_k(smax, k)
-    member_g = jnp.take_along_axis(
-        gmax.reshape(Q, n_super, 8), si[:, :, None], axis=1
-    ).reshape(Q, 8 * k)
-    member_ids = (si[:, :, None] * 8 + jnp.arange(8, dtype=jnp.int32)).reshape(Q, 8 * k)
-    _, pos = jax.lax.top_k(member_g, k)
-    gi = jnp.take_along_axis(member_ids, pos, axis=1)
+    gi = _select_groups(gmax, k)
 
     tile_id = gi // gw
     within = gi % gw

@@ -109,3 +109,32 @@ class TestPallasRescore:
         c = jnp.array(rng.randn(70000, 32).astype(np.float32))
         s, i = pallas_hier2_rescore(q, c, k=20, tile=2048)
         np.testing.assert_array_equal(np.asarray(i), brute(np.asarray(q), np.asarray(c), 20))
+
+
+class TestSelectGroups:
+    @pytest.mark.parametrize("W,k", [(70001, 37), (524288, 100), (9000, 1000)])
+    def test_pyramid_selects_topk_groups(self, W, k):
+        """Selected group maxima == true top-k maxima (tie-robust: compare
+        value multisets, not ids) at widths forcing 1-3 pyramid levels."""
+        from openmatch_tpu.ops.pallas_mips import _select_groups
+
+        rng = np.random.RandomState(1)
+        gmax = jnp.asarray(rng.randn(3, W).astype(np.float32))
+        ids = np.asarray(_select_groups(gmax, k))
+        assert ids.shape == (3, k)
+        g = np.asarray(gmax)
+        for r in range(3):
+            got = np.sort(g[r, ids[r]])[::-1]
+            want = np.sort(g[r])[::-1][:k]
+            np.testing.assert_array_equal(got, want)
+
+    def test_adversarial_clustered_maxima(self):
+        """All top values inside one fanout subtree — the pyramid must not
+        lose siblings (the covering argument's worst case)."""
+        from openmatch_tpu.ops.pallas_mips import _select_groups
+
+        W, k = 40000, 16
+        g = np.zeros((1, W), np.float32)
+        g[0, 512:512 + k] = np.arange(k, 0, -1)  # k best, contiguous
+        ids = np.asarray(_select_groups(jnp.asarray(g), k))[0]
+        assert set(ids.tolist()) == set(range(512, 512 + k))
