@@ -88,6 +88,69 @@ def _hier2_topk(scores: jnp.ndarray, k: int, group: int = 8) -> Tuple[jnp.ndarra
     return s, jnp.take_along_axis(cand_idx, p, axis=1)
 
 
+def _select_groups(gmax: jnp.ndarray, k: int, fanout: int = 8) -> jnp.ndarray:
+    """Exact top-k GROUP selection from per-group maxima via a max pyramid.
+
+    Builds coarser maxima levels (width/fanout each) until one more level
+    would have <= k entries, top-k's the coarsest level, then expands down:
+    at each level, gather the fanout*k member maxima of the selected
+    parents and keep the top k. Exactness per level is the hier covering
+    argument (ops/mips.py:_hier_topk): any true top-k column forces its
+    ancestor's max >= s_k, and at most k ancestors can satisfy that.
+
+    Shrinks the widest lax.top_k input from n_groups to <= fanout*k
+    regardless of corpus size — at 8.8M docs the 2-level scheme would sort
+    a 137k-wide array per query; the pyramid sorts nothing wider than
+    fanout*k. Smaller fanout = narrower (cheaper) expansion sorts but more
+    levels; lax.top_k cost grows superlinearly in width, so fanout 4
+    measured fastest at k=1000 on v5e.
+
+    gmax: [Q, n_groups] f32. Returns group ids [Q, k] (unsorted order of
+    a sorted-by-max selection; the caller re-ranks candidates anyway).
+    """
+    Q, W = gmax.shape
+    neg_inf = jnp.finfo(jnp.float32).min
+    levels = [gmax]
+    while levels[-1].shape[1] // fanout > k:
+        cur = levels[-1]
+        w = cur.shape[1]
+        pad = (-w) % fanout
+        if pad:
+            cur = jnp.pad(cur, ((0, 0), (0, pad)), constant_values=neg_inf)
+        levels[-1] = cur  # keep the padded version for the expansion pass
+        levels.append(cur.reshape(Q, -1, fanout).max(axis=-1))
+
+    _, ids = jax.lax.top_k(levels[-1], min(k, levels[-1].shape[1]))
+    if ids.shape[1] < k:  # tiny corpus: every coarse entry selected
+        ids = jnp.pad(ids, ((0, 0), (0, k - ids.shape[1])), mode="edge")
+    fan_offsets = jnp.arange(fanout, dtype=jnp.int32)
+    for lvl in reversed(levels[:-1]):
+        member_vals = jnp.take_along_axis(
+            lvl.reshape(Q, -1, fanout), ids[:, :, None], axis=1
+        ).reshape(Q, fanout * k)
+        member_ids = (ids[:, :, None] * fanout + fan_offsets).reshape(Q, fanout * k)
+        _, pos = jax.lax.top_k(member_vals, k)
+        ids = jnp.take_along_axis(member_ids, pos, axis=1)
+    return ids
+
+
+def _pyramid_topk(
+    scores: jnp.ndarray, k: int, group: int = 8, fanout: int = 4
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k via group maxima + max-pyramid group selection
+    (_select_groups) + exact re-rank of the k*group member columns."""
+    Q, C = scores.shape
+    n_groups = C // group
+    if C % group or n_groups // fanout <= k:
+        return _hier_topk(scores, k, group)
+    grouped = scores.reshape(Q, n_groups, group)
+    gi = _select_groups(grouped.max(axis=-1), k, fanout)
+    cand = jnp.take_along_axis(grouped, gi[:, :, None], axis=1).reshape(Q, k * group)
+    cand_idx = (gi[:, :, None] * group + jnp.arange(group, dtype=jnp.int32)).reshape(Q, k * group)
+    s, pos = jax.lax.top_k(cand, k)
+    return s, jnp.take_along_axis(cand_idx, pos, axis=1)
+
+
 def _chunk_topk(scores: jnp.ndarray, k: int, method: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
     if method == "approx":
         return jax.lax.approx_max_k(scores, k, recall_target=0.99, aggregate_to_topk=True)
@@ -95,6 +158,8 @@ def _chunk_topk(scores: jnp.ndarray, k: int, method: str) -> Tuple[jnp.ndarray, 
         return _hier_topk(scores, k)
     if method == "hier2":
         return _hier2_topk(scores, k)
+    if method == "pyramid":
+        return _pyramid_topk(scores, k)
     return jax.lax.top_k(scores, k)
 
 

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .mips import _select_groups
+
 GROUP = 8
 
 
@@ -101,53 +103,10 @@ def fused_score_gmax(
     return scores, gmax
 
 
-def _select_groups(gmax: jnp.ndarray, k: int, fanout: int = 8) -> jnp.ndarray:
-    """Exact top-k GROUP selection from per-group maxima via a max pyramid.
-
-    Builds coarser maxima levels (width/8 each) until one more level would
-    have <= k entries, top-k's the coarsest level, then expands back down:
-    at each level, gather the fanout*k member maxima of the selected
-    parents and keep the top k. Exactness per level is the hier covering
-    argument (ops/mips.py:_hier_topk): any true top-k column forces its
-    ancestor's max >= s_k, and at most k ancestors can satisfy that.
-
-    Shrinks the widest lax.top_k input from n_groups to <= fanout*k
-    regardless of corpus size — at 8.8M docs the 2-level scheme would sort
-    a 137k-wide array per query; the pyramid sorts nothing wider than 8k.
-
-    gmax: [Q, n_groups] f32. Returns group ids [Q, k] (unsorted order of
-    a sorted-by-max selection; the caller re-ranks candidates anyway).
-    """
-    Q, W = gmax.shape
-    neg_inf = jnp.finfo(jnp.float32).min
-    levels = [gmax]
-    while levels[-1].shape[1] // fanout > k:
-        cur = levels[-1]
-        w = cur.shape[1]
-        pad = (-w) % fanout
-        if pad:
-            cur = jnp.pad(cur, ((0, 0), (0, pad)), constant_values=neg_inf)
-        levels[-1] = cur  # keep the padded version for the expansion pass
-        levels.append(cur.reshape(Q, -1, fanout).max(axis=-1))
-
-    _, ids = jax.lax.top_k(levels[-1], min(k, levels[-1].shape[1]))
-    if ids.shape[1] < k:  # tiny corpus: every coarse entry selected
-        ids = jnp.pad(ids, ((0, 0), (0, k - ids.shape[1])), mode="edge")
-    fan_offsets = jnp.arange(fanout, dtype=jnp.int32)
-    for lvl in reversed(levels[:-1]):
-        member_vals = jnp.take_along_axis(
-            lvl.reshape(Q, -1, fanout), ids[:, :, None], axis=1
-        ).reshape(Q, fanout * k)
-        member_ids = (ids[:, :, None] * fanout + fan_offsets).reshape(Q, fanout * k)
-        _, pos = jax.lax.top_k(member_vals, k)
-        ids = jnp.take_along_axis(member_ids, pos, axis=1)
-    return ids
-
-
-@functools.partial(jax.jit, static_argnames=("k", "tile", "tile_q"))
+@functools.partial(jax.jit, static_argnames=("k", "tile", "tile_q", "fanout"))
 def pallas_hier2_search(
     queries: jnp.ndarray, corpus: jnp.ndarray, k: int = 1000, tile: int = 2048,
-    tile_q: int = 256,
+    tile_q: int = 256, fanout: int = 4,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k: Pallas fused scoring + max-pyramid selection.
 
@@ -181,7 +140,7 @@ def pallas_hier2_search(
         # fall back to the plain exact path on the masked scores
         return _hier_topk(scores, k)
 
-    gi = _select_groups(gmax, k)  # global group ids [Q, k]
+    gi = _select_groups(gmax, k, fanout)  # global group ids [Q, k]
 
     # strided-group member columns: tile_id*tile + within + m*gw
     tile_id = gi // gw
@@ -242,10 +201,10 @@ def fused_gmax_only(
     return gmax[:Q] if q_pad else gmax
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile", "tile_q"))
+@functools.partial(jax.jit, static_argnames=("k", "tile", "tile_q", "fanout"))
 def pallas_hier2_rescore(
     queries: jnp.ndarray, corpus: jnp.ndarray, k: int = 1000, tile: int = 2048,
-    tile_q: int = 256,
+    tile_q: int = 256, fanout: int = 4,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k WITHOUT materializing the score matrix.
 
@@ -289,7 +248,7 @@ def pallas_hier2_rescore(
         gmax = jnp.concatenate([gmax, _slab_gmax(tail_scores)], axis=1)
         corpus = jnp.pad(corpus, ((0, tile - r), (0, 0)))  # for the gather
 
-    gi = _select_groups(gmax, k)
+    gi = _select_groups(gmax, k, fanout)
 
     tile_id = gi // gw
     within = gi % gw

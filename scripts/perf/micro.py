@@ -32,6 +32,11 @@ def main():
     corpus = jnp.asarray(rng.randn(N, D).astype(np.float32), jnp.bfloat16)
     queries = jnp.asarray(rng.randn(Q, D).astype(np.float32), jnp.bfloat16)
 
+    def pad_to(c, tile):
+        """Raw fused_* kernels require N % tile == 0 (wrappers pad)."""
+        pad = (-c.shape[0]) % tile
+        return jnp.pad(c, ((0, pad), (0, 0))) if pad else c
+
     def body_of(fn):
         """fn(q, corpus) -> array; returns a jitted ITERS-iteration loop."""
 
@@ -55,21 +60,25 @@ def main():
     elif mode == "gmax_pallas":
         from openmatch_tpu.ops.pallas_mips import fused_gmax_only
 
+        corpus = pad_to(corpus, 2048)
         fn = lambda q, c: fused_gmax_only(q, c, tile=2048)
     elif mode.startswith("gmax_pallas_t"):
         from openmatch_tpu.ops.pallas_mips import fused_gmax_only
 
         tile = int(mode.split("t")[-1])
+        corpus = pad_to(corpus, tile)
         fn = lambda q, c: fused_gmax_only(q, c, tile=tile)
     elif mode.startswith("gp_"):  # gp_<tile>_<tile_q>: gmax-only sweep
         from openmatch_tpu.ops.pallas_mips import fused_gmax_only
 
         _, t, tq = mode.split("_")
+        corpus = pad_to(corpus, int(t))
         fn = lambda q, c: fused_gmax_only(q, c, tile=int(t), tile_q=int(tq))
     elif mode.startswith("sgp_"):  # sgp_<tile>_<tile_q>: score+gmax sweep
         from openmatch_tpu.ops.pallas_mips import fused_score_gmax
 
         _, t, tq = mode.split("_")
+        corpus = pad_to(corpus, int(t))
         fn = lambda q, c: fused_score_gmax(q, c, tile=int(t), tile_q=int(tq))[1]
     elif mode.startswith("pallas_full_"):  # pallas_full_<tile>_<tile_q>
         from openmatch_tpu.ops.pallas_mips import pallas_hier2_search
