@@ -116,6 +116,10 @@ def main():
         from openmatch_tpu.ops.mips import exact_search
 
         fn = lambda q, c: exact_search(q, c, k=K, chunk_size=0, method="hier2")[0]
+    elif mode == "xla_full_pyramid":
+        from openmatch_tpu.ops.mips import exact_search
+
+        fn = lambda q, c: exact_search(q, c, k=K, chunk_size=0, method="pyramid")[0]
     elif mode == "rescore_full":
         from openmatch_tpu.ops.pallas_mips import pallas_hier2_rescore
 
