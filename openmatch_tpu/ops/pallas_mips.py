@@ -31,6 +31,22 @@ from jax.experimental.pallas import tpu as pltpu
 from .mips import _select_groups
 
 GROUP = 8
+_SCOPED_VMEM = 16 * 2**20  # v5e scoped-vmem stack limit (measured OOM above it)
+
+
+def _check_vmem(tile: int, tile_q: int, D: int, with_scores: bool):
+    """Every block is double-buffered by the Mosaic pipeline; the sum must
+    fit the 16 MB scoped VMEM or compilation fails with a stack OOM."""
+    per_step = tile * D * 2 + tile_q * D * 2 + tile_q * (tile // GROUP) * 4
+    if with_scores:
+        per_step += tile_q * tile * 4
+    need = 2 * per_step
+    if need > _SCOPED_VMEM:
+        raise ValueError(
+            f"tile={tile}, tile_q={tile_q} needs {need / 2**20:.1f} MB of "
+            f"double-buffered VMEM (> {_SCOPED_VMEM // 2**20} MB scoped "
+            "limit); shrink tile or tile_q"
+        )
 
 
 def _score_gmax_kernel(q_ref, c_ref, s_ref, g_ref):
@@ -73,6 +89,7 @@ def fused_score_gmax(
     Q, D = queries.shape
     N = corpus.shape[0]
     assert N % tile == 0 and tile % (GROUP * 128) == 0, (N, tile)
+    _check_vmem(tile, tile_q, D, with_scores=True)
     q_pad = (-Q) % tile_q
     if q_pad:
         queries = jnp.pad(queries, ((0, q_pad), (0, 0)))
@@ -106,7 +123,7 @@ def fused_score_gmax(
 @functools.partial(jax.jit, static_argnames=("k", "tile", "tile_q", "fanout"))
 def pallas_hier2_search(
     queries: jnp.ndarray, corpus: jnp.ndarray, k: int = 1000, tile: int = 2048,
-    tile_q: int = 256, fanout: int = 4,
+    tile_q: int = 256, fanout: int = 8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k: Pallas fused scoring + max-pyramid selection.
 
@@ -177,6 +194,7 @@ def fused_gmax_only(
     Q, D = queries.shape
     N = corpus.shape[0]
     assert N % tile == 0 and tile % (GROUP * 128) == 0, (N, tile)
+    _check_vmem(tile, tile_q, D, with_scores=False)
     q_pad = (-Q) % tile_q
     if q_pad:
         queries = jnp.pad(queries, ((0, q_pad), (0, 0)))
@@ -204,7 +222,7 @@ def fused_gmax_only(
 @functools.partial(jax.jit, static_argnames=("k", "tile", "tile_q", "fanout"))
 def pallas_hier2_rescore(
     queries: jnp.ndarray, corpus: jnp.ndarray, k: int = 1000, tile: int = 2048,
-    tile_q: int = 256, fanout: int = 4,
+    tile_q: int = 256, fanout: int = 8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k WITHOUT materializing the score matrix.
 
