@@ -140,6 +140,9 @@ class InferenceArguments:
     id_key_name: str = "id"
     reranking_depth: Optional[int] = None
     retrieve_depth: int = 100
+    search_method: str = field(default="auto", metadata={
+        "help": "exact-MIPS engine: auto (pallas kernels on TPU, scan on "
+                "CPU) | pallas | pyramid | hier2 | hier | topk | approx"})
     max_inmem_docs: int = field(
         default=4_000_000,
         metadata={"help": "docs per partition for successive (memory-bounded) retrieval"},

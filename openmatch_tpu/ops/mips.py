@@ -356,8 +356,11 @@ def sharded_search(
         shard_id = jax.lax.axis_index(axis)
         total_valid = N if n_valid is None else n_valid
         shard_valid = jnp.clip(total_valid - shard_id * shard_rows, 0, shard_rows)
+        # "pallas" (kernel path) has no shard-validity masking; its exact
+        # XLA equivalent with masking is the pyramid scan method
+        local_method = "pyramid" if method in ("pallas", "auto") else method
         s, i = exact_search(q, c_shard, k=k, chunk_size=chunk_size,
-                            method=method, valid_rows=shard_valid)
+                            method=local_method, valid_rows=shard_valid)
         i = i + shard_id * shard_rows
         # [devices, Q, k] candidates on every device
         all_s = jax.lax.all_gather(s, axis)
@@ -400,8 +403,12 @@ class Searcher:
         mesh: Optional[Mesh] = None,
         axis: str = "data",
         chunk_size: int = 0,
-        method: str = "hier2",
+        method: str = "auto",
     ):
+        if method == "auto":
+            # fused Pallas kernels on real hardware; the scan path on CPU
+            # (interpret-mode Pallas would be pathologically slow)
+            method = "pallas" if jax.default_backend() != "cpu" else "hier2"
         self.k = k
         self.mesh = mesh
         self.axis = axis
@@ -420,6 +427,12 @@ class Searcher:
                 queries, self.corpus, self.k, self.mesh, self.axis,
                 self.chunk_size, self.method, n_valid=self.n_docs,
             )
+        elif self.method == "pallas":
+            # fused-kernel score-free path (fastest measured single-chip;
+            # scales to corpora whose score matrix cannot fit in HBM)
+            from .pallas_mips import pallas_hier2_rescore
+
+            s, i = pallas_hier2_rescore(queries, self.corpus, k=self.k)
         else:
             s, i = exact_search(
                 queries, self.corpus, self.k, self.chunk_size, self.method

@@ -112,7 +112,8 @@ class Retriever:
                search_dtype=jnp.bfloat16) -> RankResult:
         assert self.doc_embeddings is not None, "encode or load the corpus first"
         searcher = Searcher(
-            jnp.asarray(self.doc_embeddings, search_dtype), k=topk, mesh=self.mesh
+            jnp.asarray(self.doc_embeddings, search_dtype), k=topk, mesh=self.mesh,
+            method=getattr(self.args, "search_method", "auto"),
         )
         scores, indices = searcher.search(jnp.asarray(q_embeddings, search_dtype))
         return _to_result(np.asarray(scores), np.asarray(indices), qids, self.doc_ids)
