@@ -38,8 +38,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from openmatch_tpu.ops.pallas_mips import pallas_hier2_rescore
-
     N_SHARD, D, Q, K = 2_210_456, 768, 512, 1000
     on_tpu = jax.devices()[0].platform != "cpu"
     if not on_tpu:  # CPU fallback keeps the harness runnable anywhere
@@ -49,9 +47,18 @@ def main():
     corpus = jnp.asarray(rng.randn(N_SHARD, D).astype(np.float32), jnp.bfloat16)
     queries = jnp.asarray(rng.randn(Q, D).astype(np.float32), jnp.bfloat16)
 
-    def run_shard():
-        s, i = pallas_hier2_rescore(queries, corpus, k=K)
-        return s
+    if on_tpu:
+        from openmatch_tpu.ops.pallas_mips import pallas_hier2_rescore
+
+        def run_shard():
+            s, i = pallas_hier2_rescore(queries, corpus, k=K)
+            return s
+    else:  # Pallas doesn't lower on the CPU backend; use the scan path
+        from openmatch_tpu.ops.mips import exact_search
+
+        def run_shard():
+            s, i = exact_search(queries, corpus, k=K, method="pyramid")
+            return s
 
     # warm (compile); block via host readback — device sync is unreliable
     # through the remote-tunnel platform
