@@ -112,6 +112,27 @@ def main():
 
         def fn(q, c):
             return jax.lax.approx_max_k(g + q[0, 0].astype(jnp.float32), K)[0]
+    elif mode.startswith("gather_minor_"):  # take_along_axis cols from [Q, W]
+        W = int(mode.split("_")[-1])
+        src = jnp.asarray(rng.randn(Q, W).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, W, size=(Q, 8000)), jnp.int32)
+
+        def fn(q, c):
+            return jnp.take_along_axis(src + q[0, 0].astype(jnp.float32), idx, axis=1)
+    elif mode == "gather_rows":  # corpus-row gather (rescore phase C shape)
+        idx = jnp.asarray(rng.randint(0, N, size=(Q * 8000,)), jnp.int32)
+
+        def fn(q, c):
+            rows = jnp.take(c, idx, axis=0)
+            return jnp.einsum("qcd,qd->qc", rows.reshape(Q, 8000, D), q,
+                              preferred_element_type=jnp.float32)
+    elif mode == "select_groups":  # pyramid selection alone on [Q, N/8]
+        from openmatch_tpu.ops.mips import _select_groups
+
+        g = jnp.asarray(rng.randn(Q, N // 8).astype(np.float32))
+
+        def fn(q, c):
+            return _select_groups(g + q[0, 0].astype(jnp.float32), K)
     elif mode == "hier2_full":
         from openmatch_tpu.ops.mips import exact_search
 
