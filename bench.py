@@ -48,10 +48,10 @@ def main():
     queries = jnp.asarray(rng.randn(Q, D).astype(np.float32), jnp.bfloat16)
 
     if on_tpu:
-        from openmatch_tpu.ops.pallas_mips import pallas_hier2_rescore
+        from openmatch_tpu.ops.pallas_mips import pallas_block_topk
 
         def run_shard():
-            s, i = pallas_hier2_rescore(queries, corpus, k=K)
+            s, i = pallas_block_topk(queries, corpus, k=K)
             return s
     else:  # Pallas doesn't lower on the CPU backend; use the scan path
         from openmatch_tpu.ops.mips import exact_search

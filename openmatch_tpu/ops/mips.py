@@ -88,7 +88,35 @@ def _hier2_topk(scores: jnp.ndarray, k: int, group: int = 8) -> Tuple[jnp.ndarra
     return s, jnp.take_along_axis(cand_idx, p, axis=1)
 
 
-def _select_groups(gmax: jnp.ndarray, k: int, fanout: int = 8) -> jnp.ndarray:
+def _sort_ms(width: int) -> float:
+    """lax.top_k / variadic-sort cost model, measured on v5e at Q=512,
+    k=1000: ~2 ms flat + ~0.34 ms per 1000 columns. Only the RANKING of
+    plans matters, so the Q dependence (everything scales ~linearly in Q)
+    cancels."""
+    return 2.0 + 0.34 * (width / 1000.0)
+
+
+def _plan_pyramid(W: int, k: int, gather_ms: float = 7.0):
+    """Pick (levels, fanout) minimizing modeled selection cost.
+
+    cost(L, f) = sort(W / f^L)  +  L * (expansion gather + sort(f * k)).
+    For fixed L the optimum is f = (W / k)^(1/(L+1)) (balance the coarse
+    sort against the expansion sorts); evaluate L = 0..3 and keep the
+    cheapest plan whose coarse level still has > k entries.
+    """
+    best = (0, 1, _sort_ms(W))
+    for L in (1, 2, 3):
+        f = max(2, round((W / k) ** (1.0 / (L + 1))))
+        coarse = W / (f ** L)
+        if coarse <= k:
+            continue
+        cost = _sort_ms(coarse) + L * (gather_ms + _sort_ms(f * k))
+        if cost < best[2]:
+            best = (L, f, cost)
+    return best[0], best[1]
+
+
+def _select_groups(gmax: jnp.ndarray, k: int, fanout: Optional[int] = None) -> jnp.ndarray:
     """Exact top-k GROUP selection from per-group maxima via a max pyramid.
 
     Builds coarser maxima levels (width/fanout each) until one more level
@@ -106,13 +134,32 @@ def _select_groups(gmax: jnp.ndarray, k: int, fanout: int = 8) -> jnp.ndarray:
     ~2 ms + 0.34 ms per 1000 columns, so the per-call floor dominates and
     fanout 8 (fewest calls at the narrowest coarse level) is fastest.
 
+    Gathers are the TPU tax here, not sorts: a [Q, k]-descriptor gather
+    costs ~7 ms at Q=512/k=1000 (measured; minor-axis gathers lower to
+    per-slice descriptors). So (a) fanout=None plans (levels, fanout) with
+    the measured cost model — usually ONE expansion with fanout
+    ~= sqrt(W/k) instead of many narrow levels — and (b) expansions carry
+    member ids as VARIADIC SORT PAYLOADS (lax.sort(neg vals, ids)), which
+    permutes ids inside the sort network for free, instead of a top_k
+    followed by a second [Q, k]-descriptor gather of the ids.
+
     gmax: [Q, n_groups] f32. Returns group ids [Q, k] (unsorted order of
     a sorted-by-max selection; the caller re-ranks candidates anyway).
     """
     Q, W = gmax.shape
     neg_inf = jnp.finfo(jnp.float32).min
+
+    if fanout is None:
+        n_levels, fanout = _plan_pyramid(W, k)
+    else:
+        n_levels = 0
+        w = W
+        while w // fanout > k:
+            n_levels += 1
+            w = -(-w // fanout)
+
     levels = [gmax]
-    while levels[-1].shape[1] // fanout > k:
+    for _ in range(n_levels):
         cur = levels[-1]
         w = cur.shape[1]
         pad = (-w) % fanout
@@ -130,8 +177,12 @@ def _select_groups(gmax: jnp.ndarray, k: int, fanout: int = 8) -> jnp.ndarray:
             lvl.reshape(Q, -1, fanout), ids[:, :, None], axis=1
         ).reshape(Q, fanout * k)
         member_ids = (ids[:, :, None] * fanout + fan_offsets).reshape(Q, fanout * k)
-        _, pos = jax.lax.top_k(member_vals, k)
-        ids = jnp.take_along_axis(member_ids, pos, axis=1)
+        # descending sort carrying ids as payload: same cost as top_k
+        # (which is sort-with-iota-payload), no posterior id gather
+        _, sorted_ids = jax.lax.sort(
+            (jnp.negative(member_vals), member_ids), dimension=1, num_keys=1
+        )
+        ids = sorted_ids[:, :k]
     return ids
 
 
@@ -430,9 +481,9 @@ class Searcher:
         elif self.method == "pallas":
             # fused-kernel score-free path (fastest measured single-chip;
             # scales to corpora whose score matrix cannot fit in HBM)
-            from .pallas_mips import pallas_hier2_rescore
+            from .pallas_mips import pallas_block_topk
 
-            s, i = pallas_hier2_rescore(queries, self.corpus, k=self.k)
+            s, i = pallas_block_topk(queries, self.corpus, k=self.k)
         else:
             s, i = exact_search(
                 queries, self.corpus, self.k, self.chunk_size, self.method

@@ -31,7 +31,10 @@ from jax.experimental.pallas import tpu as pltpu
 from .mips import _select_groups
 
 GROUP = 8
-_SCOPED_VMEM = 16 * 2**20  # v5e scoped-vmem stack limit (measured OOM above it)
+# v5e scoped-vmem stack limit is 16 MiB; Mosaic adds ~1.4 MiB of overhead
+# beyond the block buffers (measured: a 15.5 MiB block plan compiled to a
+# 16.88 MiB allocation), so budget against 14.5 MiB.
+_SCOPED_VMEM = int(14.5 * 2**20)
 
 
 def _check_vmem(tile: int, tile_q: int, D: int, with_scores: bool):
@@ -292,4 +295,153 @@ def pallas_hier2_rescore(
     s_blocks, i_blocks = jax.lax.map(rescore_block, (cand_b, quer_b))
     s = s_blocks.reshape(-1, k)[:Q]
     idx = i_blocks.reshape(-1, k)[:Q]
+    return s, idx
+
+
+# ---------------------------------------------------------------------------
+# Block-layout path: contiguous 8-doc groups, gather-light selection.
+#
+# Measured on v5e (Q=512, k=1000, 1M docs): minor-axis gathers cost ~7 ms
+# per [Q, k] descriptor set and scattered per-row gathers ~30 ns/row, which
+# made the strided-group paths gather-bound (selection 28 ms, rescore >100).
+# Viewing the corpus as [N/8, 8*D] block rows fixes the layout: the kernel
+# contracts each of the 8 D-wide column slabs of a block tile against the
+# queries (8 static-slice MXU matmuls) and maxes them, so a "group" is 8
+# CONSECUTIVE docs and the rescore gather moves k contiguous 12 KB block
+# rows per query instead of 8k scattered 1.5 KB rows.
+# ---------------------------------------------------------------------------
+
+
+def _block_gmax_kernel(q_ref, cb_ref, g_ref):
+    """q: [tq, D] bf16; cb: [tg, 8*D] bf16 (block row = 8 consecutive docs);
+    g: [tq, tg] f32 per-block score max."""
+    D = q_ref.shape[1]
+    g = None
+    for m in range(GROUP):
+        sm = jax.lax.dot_general(
+            q_ref[:], cb_ref[:, m * D:(m + 1) * D],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        g = sm if g is None else jnp.maximum(g, sm)
+    g_ref[:] = g
+
+
+def _check_vmem_block(tile_g: int, tile_q: int, D: int):
+    need = 2 * (tile_g * GROUP * D * 2 + tile_q * D * 2 + tile_q * tile_g * 4)
+    if need > _SCOPED_VMEM:
+        raise ValueError(
+            f"tile_g={tile_g}, tile_q={tile_q} needs {need / 2**20:.1f} MB "
+            f"double-buffered VMEM (> {_SCOPED_VMEM / 2**20:.1f} MB budget); "
+            "shrink tile_g or tile_q"
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("tile_g", "tile_q"))
+def fused_block_gmax(
+    queries: jnp.ndarray, corpus_blocks: jnp.ndarray,
+    tile_g: int = 256, tile_q: int = 512,
+) -> jnp.ndarray:
+    """Per-block score maxima [Q, NB] f32 from block rows [NB, 8*D] bf16."""
+    Q, D = queries.shape
+    NB = corpus_blocks.shape[0]
+    assert corpus_blocks.shape[1] == GROUP * D
+    assert NB % tile_g == 0, (NB, tile_g)
+    _check_vmem_block(tile_g, tile_q, D)
+    q_pad = (-Q) % tile_q
+    if q_pad:
+        queries = jnp.pad(queries, ((0, q_pad), (0, 0)))
+    Qp = Q + q_pad
+    gmax = pl.pallas_call(
+        _block_gmax_kernel,
+        grid=(NB // tile_g, Qp // tile_q),
+        in_specs=[
+            pl.BlockSpec((tile_q, D), lambda n, qb: (qb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_g, GROUP * D), lambda n, qb: (n, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_q, tile_g), lambda n, qb: (qb, n), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Qp, NB), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Qp * NB * GROUP * D,
+            bytes_accessed=Qp * D * 2 + NB * GROUP * D * 2 + Qp * NB * 4,
+            transcendentals=0,
+        ),
+    )(queries, corpus_blocks)
+    return gmax[:Q] if q_pad else gmax
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_g", "tile_q", "qb"))
+def pallas_block_topk(
+    queries: jnp.ndarray, corpus: jnp.ndarray, k: int = 1000,
+    tile_g: int = 256, tile_q: int = 512, qb: int = 32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k, score-free, gather-light (the fast path on TPU).
+
+    Phase A: fused block-gmax kernel (corpus streamed once; only the
+    [Q, N/8] maxima land in HBM). Phase B: planned max-pyramid selection
+    (_select_groups) of the top-k blocks. Phase C: gather the k selected
+    CONTIGUOUS 8-doc block rows per query, rescore in fp32, and rank with
+    a variadic sort carrying doc ids as payload. The ragged tail (N % 8
+    docs) is scored densely in XLA and joined before the final sort.
+
+    Exact under bf16-input/fp32-accumulate scoring, like every other path
+    (ties at the k-th score may resolve differently than faiss fp32).
+    """
+    Q, D = queries.shape
+    N = corpus.shape[0]
+    k = min(k, N)
+    NB = N // GROUP
+    tail = N - NB * GROUP
+    if NB // 2 <= k:
+        from .mips import exact_search
+
+        return exact_search(queries, corpus, k=k)
+
+    pad_b = (-NB) % tile_g
+    cb = corpus[: NB * GROUP].reshape(NB, GROUP * D)
+    cb_padded = jnp.pad(cb, ((0, pad_b), (0, 0))) if pad_b else cb
+    gmax = fused_block_gmax(queries, cb_padded, tile_g, tile_q)  # [Q, NBp]
+    if pad_b:
+        col = jax.lax.broadcasted_iota(jnp.int32, gmax.shape, 1)
+        gmax = jnp.where(col < NB, gmax, jnp.finfo(jnp.float32).min)
+
+    bid = _select_groups(gmax, k)  # [Q, k] block ids, auto-planned pyramid
+
+    if tail:
+        tail_scores = jnp.dot(queries, corpus[NB * GROUP:].T,
+                              preferred_element_type=jnp.float32)  # [Q, tail]
+        tail_ids = NB * GROUP + jnp.arange(tail, dtype=jnp.int32)
+
+    q_pad = (-Q) % qb
+    bid_c = jnp.pad(bid, ((0, q_pad), (0, 0))).reshape(-1, qb, k)
+    quer_c = jnp.pad(queries, ((0, q_pad), (0, 0))).reshape(-1, qb, D)
+    if tail:
+        tail_c = jnp.pad(tail_scores, ((0, q_pad), (0, 0))).reshape(-1, qb, tail)
+
+    m_offsets = jnp.arange(GROUP, dtype=jnp.int32)
+
+    def rescore_chunk(args):
+        if tail:
+            bids, qs, ts = args
+        else:
+            bids, qs = args
+        rows = jnp.take(cb, bids.reshape(-1), axis=0)  # [qb*k, 8*D] contiguous
+        rows = rows.reshape(qb, k, GROUP, D)
+        sc = jnp.einsum("qkmd,qd->qkm", rows, qs,
+                        preferred_element_type=jnp.float32).reshape(qb, k * GROUP)
+        ids = (bids[:, :, None] * GROUP + m_offsets).reshape(qb, k * GROUP)
+        if tail:
+            sc = jnp.concatenate([sc, ts], axis=1)
+            ids = jnp.concatenate(
+                [ids, jnp.broadcast_to(tail_ids, (qb, tail))], axis=1)
+        # descending variadic sort carries doc ids through the sort network
+        neg_s, out_i = jax.lax.sort((jnp.negative(sc), ids), dimension=1, num_keys=1)
+        return -neg_s[:, :k], out_i[:, :k]
+
+    chunks = (bid_c, quer_c, tail_c) if tail else (bid_c, quer_c)
+    s_chunks, i_chunks = jax.lax.map(rescore_chunk, chunks)
+    s = s_chunks.reshape(-1, k)[:Q]
+    idx = i_chunks.reshape(-1, k)[:Q]
     return s, idx

@@ -30,7 +30,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from openmatch_tpu.ops.pallas_mips import pallas_hier2_rescore
+    from openmatch_tpu.ops.pallas_mips import pallas_block_topk
 
     chunk = 1_105_228  # 8 chunks cover 8,841,823
     n_chunks = -(-N // chunk)
@@ -53,7 +53,7 @@ def main():
     queries = jax.random.normal(jax.random.PRNGKey(1), (Q, D), jnp.bfloat16)
 
     def run():
-        return pallas_hier2_rescore(queries, corpus, k=K)
+        return pallas_block_topk(queries, corpus, k=K)
 
     t0 = time.time()
     s, i = run()

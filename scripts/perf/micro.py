@@ -120,12 +120,18 @@ def main():
         def fn(q, c):
             return jnp.take_along_axis(src + q[0, 0].astype(jnp.float32), idx, axis=1)
     elif mode == "gather_rows":  # corpus-row gather (rescore phase C shape)
-        idx = jnp.asarray(rng.randint(0, N, size=(Q * 8000,)), jnp.int32)
+        QB = 32
+        idx = jnp.asarray(rng.randint(0, N, size=(Q, 8000)), jnp.int32)
 
         def fn(q, c):
-            rows = jnp.take(c, idx, axis=0)
-            return jnp.einsum("qcd,qd->qc", rows.reshape(Q, 8000, D), q,
-                              preferred_element_type=jnp.float32)
+            def block(args):
+                ib, qb = args
+                rows = jnp.take(c, ib.reshape(-1), axis=0).reshape(QB, 8000, D)
+                return jnp.einsum("qcd,qd->qc", rows, qb,
+                                  preferred_element_type=jnp.float32)
+
+            return jax.lax.map(block, (idx.reshape(-1, QB, 8000),
+                                       q.reshape(-1, QB, D)))
     elif mode == "select_groups":  # pyramid selection alone on [Q, N/8]
         from openmatch_tpu.ops.mips import _select_groups
 
@@ -133,6 +139,25 @@ def main():
 
         def fn(q, c):
             return _select_groups(g + q[0, 0].astype(jnp.float32), K)
+    elif mode.startswith("block_full"):  # block_full[_tileg_tileq]
+        from openmatch_tpu.ops.pallas_mips import pallas_block_topk
+
+        parts = mode.split("_")
+        tg = int(parts[2]) if len(parts) > 2 else 256
+        tq = int(parts[3]) if len(parts) > 3 else 512
+        fn = lambda q, c: pallas_block_topk(q, c, k=K, tile_g=tg, tile_q=tq)[0]
+    elif mode.startswith("block_gmax"):  # block_gmax[_tileg_tileq]
+        from openmatch_tpu.ops.pallas_mips import fused_block_gmax
+
+        parts = mode.split("_")
+        tg = int(parts[2]) if len(parts) > 2 else 256
+        tq = int(parts[3]) if len(parts) > 3 else 512
+        NB = N // 8
+        NBp = -(-NB // tg) * tg
+        cb = jnp.pad(corpus[: NB * 8].reshape(NB, 8 * D), ((0, NBp - NB), (0, 0)))
+
+        def fn(q, c):
+            return fused_block_gmax(q, cb, tile_g=tg, tile_q=tq)
     elif mode == "hier2_full":
         from openmatch_tpu.ops.mips import exact_search
 

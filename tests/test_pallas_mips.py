@@ -138,3 +138,43 @@ class TestSelectGroups:
         g[0, 512:512 + k] = np.arange(k, 0, -1)  # k best, contiguous
         ids = np.asarray(_select_groups(jnp.asarray(g), k))[0]
         assert set(ids.tolist()) == set(range(512, 512 + k))
+
+
+class TestBlockTopk:
+    @pytest.mark.parametrize("N,k", [(70000, 50), (66003, 64), (131072, 9)])
+    def test_exact(self, interpret_pallas, N, k):
+        """Block-layout path (contiguous 8-doc groups) vs brute force,
+        including a ragged N % 8 tail."""
+        from openmatch_tpu.ops.pallas_mips import pallas_block_topk
+
+        rng = np.random.RandomState(0)
+        q = jnp.array(rng.randn(8, 32).astype(np.float32))
+        c = jnp.array(rng.randn(N, 32).astype(np.float32))
+        s, i = pallas_block_topk(q, c, k=k, tile_g=128, tile_q=8, qb=4)
+        np.testing.assert_array_equal(np.asarray(i), brute(np.asarray(q), np.asarray(c), k))
+        assert (np.diff(np.asarray(s), axis=1) <= 1e-6).all()
+
+    def test_clustered_block(self, interpret_pallas):
+        """All top columns inside one contiguous block + one in the tail."""
+        from openmatch_tpu.ops.pallas_mips import pallas_block_topk
+
+        q = jnp.ones((1, 4), jnp.float32)
+        N = 131072 + 5  # ragged tail of 5
+        c = np.zeros((N, 4), np.float32)
+        cols = list(range(4096, 4104))  # one full 8-doc block
+        for col in cols:
+            c[col] = 3.0
+        c[N - 2] = 2.0  # tail doc
+        s, i = pallas_block_topk(jnp.array(q), jnp.array(c), k=9,
+                                 tile_g=128, tile_q=8, qb=1)
+        assert set(np.asarray(i)[0].tolist()) == set(cols) | {N - 2}
+
+    def test_plan_pyramid(self):
+        from openmatch_tpu.ops.mips import _plan_pyramid
+
+        L, f = _plan_pyramid(125_000, 1000)
+        assert L == 1 and 8 <= f <= 16  # single expansion, sqrt-ish fanout
+        L0, _ = _plan_pyramid(3000, 1000)
+        assert L0 == 0  # small width: plain top_k is cheapest
+        L3, f3 = _plan_pyramid(1_105_000, 1000)
+        assert L3 >= 1
