@@ -372,10 +372,33 @@ def fused_block_gmax(
     return gmax[:Q] if q_pad else gmax
 
 
+def _auto_qb(Q: int, N: int, D: int, k: int) -> int:
+    """Rescore query-chunk size: as large as HBM headroom allows.
+
+    The phase-C transient per query is the gathered [k*8, D] bf16 block
+    rows plus the [k*8] fp32 score/id rows (~12.4 MB at k=1000, D=768),
+    and XLA may hold a second copy of the rows for the dot operand layout
+    — budget 2x. Chunking exists only to bound that transient next to the
+    resident corpus; every extra chunk costs a serialized gather + sort,
+    so pick the FEWEST chunks that fit a conservative budget: 10 GiB
+    minus the corpus and group-max residents (v5e has 16 GiB; leave
+    headroom for accumulators and XLA workspace).
+    """
+    per_q = 2 * k * GROUP * (2 * D + 12)
+    resident = N * D * 2 + Q * (N // GROUP) * 4
+    budget = 10 * 2**30 - resident
+    # floor of 16 queries/chunk (~200 MB transient at k=1000, D=768): when
+    # the corpus leaves less headroom than that, smaller chunks only add
+    # serialized sort/gather overhead without making the program fit
+    qb = max(min(Q, 16), min(Q, budget // max(per_q, 1)))
+    n_chunks = -(-Q // qb)
+    return -(-Q // n_chunks)  # equalize chunk sizes
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tile_g", "tile_q", "qb"))
 def pallas_block_topk(
     queries: jnp.ndarray, corpus: jnp.ndarray, k: int = 1000,
-    tile_g: int = 256, tile_q: int = 512, qb: int = 32,
+    tile_g: int = 256, tile_q: int = 512, qb: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k, score-free, gather-light (the fast path on TPU).
 
@@ -392,6 +415,8 @@ def pallas_block_topk(
     Q, D = queries.shape
     N = corpus.shape[0]
     k = min(k, N)
+    if qb <= 0:
+        qb = _auto_qb(Q, N, D, k)
     NB = N // GROUP
     tail = N - NB * GROUP
     if NB // 2 <= k:
