@@ -47,18 +47,18 @@ def main():
     corpus = jnp.asarray(rng.randn(N_SHARD, D).astype(np.float32), jnp.bfloat16)
     queries = jnp.asarray(rng.randn(Q, D).astype(np.float32), jnp.bfloat16)
 
-    if on_tpu:
-        from openmatch_tpu.ops.pallas_mips import pallas_block_topk
+    from openmatch_tpu.ops.mips import Searcher
 
-        def run_shard():
-            s, i = pallas_block_topk(queries, corpus, k=K)
-            return s
-    else:  # Pallas doesn't lower on the CPU backend; use the scan path
-        from openmatch_tpu.ops.mips import exact_search
+    # method=auto: the fused Pallas kernel path on TPU (score-materializing
+    # core at this shard size), the scan path on CPU; the block layout is
+    # prepared once here, outside the timed loop (serving holds it the same
+    # way a faiss index is held)
+    searcher = Searcher(corpus, k=K, method="auto")
+    del corpus  # the Searcher's prepared layout IS the index; free 3.4 GB
 
-        def run_shard():
-            s, i = exact_search(queries, corpus, k=K, method="pyramid")
-            return s
+    def run_shard():
+        s, i = searcher.search(queries)
+        return s
 
     # warm (compile); block via host readback — device sync is unreliable
     # through the remote-tunnel platform

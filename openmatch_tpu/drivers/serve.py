@@ -111,7 +111,7 @@ class RetrievalService(_QueueService):
         reps = self._encode(
             self._params, jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"])
         )
-        scores, indices = self.searcher.search(reps.astype(self.searcher.corpus.dtype))
+        scores, indices = self.searcher.search(reps.astype(self.searcher.dtype))
         scores = np.asarray(scores, np.float32)[:n, :k]
         indices = np.asarray(indices)[:n, :k]
         return [

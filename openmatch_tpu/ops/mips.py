@@ -88,32 +88,60 @@ def _hier2_topk(scores: jnp.ndarray, k: int, group: int = 8) -> Tuple[jnp.ndarra
     return s, jnp.take_along_axis(cand_idx, p, axis=1)
 
 
-def _sort_ms(width: int) -> float:
-    """lax.top_k / variadic-sort cost model, measured on v5e at Q=512,
-    k=1000: ~2 ms flat + ~0.34 ms per 1000 columns. Only the RANKING of
-    plans matters, so the Q dependence (everything scales ~linearly in Q)
+def _topk_ms(width: int) -> float:
+    """lax.top_k cost model (XLA's custom TopK lowering), profiled on v5e
+    at Q=512, k=1000: [512, 4000] 0.76 ms, [512, 8000] 1.9, [512, 17280]
+    6.8 — superlinear; fit ~ (W/1000)^1.5 / 13. Only the RANKING of plans
+    matters, so the Q dependence (everything scales ~linearly in Q)
     cancels."""
-    return 2.0 + 0.34 * (width / 1000.0)
+    return 0.4 + (width / 1000.0) ** 1.5 / 13.0
 
 
-def _plan_pyramid(W: int, k: int, gather_ms: float = 7.0):
+def _gather_ms(fanout: int) -> float:
+    """[Q, k]-descriptor slice gather cost (Q=512, k=1000 profiled):
+    descriptor-rate-bound at ~10 ns/descriptor for scalar rows rising
+    with slice bytes (~29 ns at 17 f32 per slice): ~5 ms + 0.6 ms per
+    fanout unit."""
+    return 5.0 + 0.6 * fanout
+
+
+_IDFIX_MS = 5.2  # [Q, k] <- [Q, k] parent-id gather per expansion (profiled)
+
+
+def _plan_pyramid(W: int, k: int):
     """Pick (levels, fanout) minimizing modeled selection cost.
 
-    cost(L, f) = sort(W / f^L)  +  L * (expansion gather + sort(f * k)).
-    For fixed L the optimum is f = (W / k)^(1/(L+1)) (balance the coarse
-    sort against the expansion sorts); evaluate L = 0..3 and keep the
-    cheapest plan whose coarse level still has > k entries.
-    """
-    best = (0, 1, _sort_ms(W))
+    cost(L, f) = topk(W / f^L) + L * (gather(f) + topk(f*k) + idfix).
+    Every expansion pays a fixed Q*k descriptor tax twice (member-slice
+    gather + parent-id fix), so FEWER levels win; evaluate L = 0..3 over
+    candidate fanouts and keep the cheapest plan whose coarse level still
+    has > k entries."""
+    best = (0, 1, _topk_ms(W))
     for L in (1, 2, 3):
-        f = max(2, round((W / k) ** (1.0 / (L + 1))))
-        coarse = W / (f ** L)
-        if coarse <= k:
-            continue
-        cost = _sort_ms(coarse) + L * (gather_ms + _sort_ms(f * k))
-        if cost < best[2]:
-            best = (L, f, cost)
+        for f in (2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64):
+            coarse = W / (f ** L)
+            if coarse <= k:
+                continue
+            cost = _topk_ms(coarse) + L * (
+                _gather_ms(f) + _topk_ms(f * k) + _IDFIX_MS)
+            if cost < best[2]:
+                best = (L, f, cost)
     return best[0], best[1]
+
+
+def gather_row_slices(arr: jnp.ndarray, starts: jnp.ndarray, size: int) -> jnp.ndarray:
+    """out[q, j, :] = arr[q, starts[q, j] : starts[q, j] + size].
+
+    Vmapped dynamic_slice lowers to ONE lax.gather with [Q, k] slice
+    descriptors of ``size`` contiguous elements — profiled ~3x cheaper
+    than take_along_axis with per-element columns (descriptor-rate-bound,
+    ~10-30 ns/descriptor vs Q*k*size scalar descriptors) and it reads the
+    2D array directly where a [Q, W/f, f] reshape materializes. OOB
+    starts clamp (dynamic_slice semantics)."""
+    return jax.vmap(
+        lambda row, ss: jax.vmap(
+            lambda s: jax.lax.dynamic_slice(row, (s,), (size,)))(ss)
+    )(arr, starts)
 
 
 def _select_groups(gmax: jnp.ndarray, k: int, fanout: Optional[int] = None) -> jnp.ndarray:
@@ -129,19 +157,18 @@ def _select_groups(gmax: jnp.ndarray, k: int, fanout: Optional[int] = None) -> j
     Shrinks the widest lax.top_k input from n_groups to <= fanout*k
     regardless of corpus size — at 8.8M docs the 2-level scheme would sort
     a 137k-wide array per query; the pyramid sorts nothing wider than
-    fanout*k. Smaller fanout = narrower (cheaper) expansion sorts but more
-    levels; measured on v5e at Q=512, k=1000, lax.top_k costs
-    ~2 ms + 0.34 ms per 1000 columns, so the per-call floor dominates and
-    fanout 8 (fewest calls at the narrowest coarse level) is fastest.
+    fanout*k.
 
-    Gathers are the TPU tax here, not sorts: a [Q, k]-descriptor gather
-    costs ~7 ms at Q=512/k=1000 (measured; minor-axis gathers lower to
-    per-slice descriptors). So (a) fanout=None plans (levels, fanout) with
-    the measured cost model — usually ONE expansion with fanout
-    ~= sqrt(W/k) instead of many narrow levels — and (b) expansions carry
-    member ids as VARIADIC SORT PAYLOADS (lax.sort(neg vals, ids)), which
-    permutes ids inside the sort network for free, instead of a top_k
-    followed by a second [Q, k]-descriptor gather of the ids.
+    Gathers are the TPU tax here, not top_k calls (profiled on v5e at
+    Q=512, k=1000: XLA TopK ~0.2 ms/1000 cols; minor-axis gathers
+    ~0.9 ms/1000 cols, descriptor-rate-bound; a 3-operand payload sort
+    over [512, 17k] costs 14 ms where TopK costs 5). So each expansion
+    (a) gathers member values FLAT from the level array (a 3D
+    [Q, parents, fanout] reshape materializes with a transposed layout —
+    profiled 2 ms + a 15 ms strided gather), (b) ranks them with
+    lax.top_k, and (c) reconstructs global ids ARITHMETICALLY from the
+    returned positions (parent = pos // fanout via one tiny [Q, k]
+    gather), never sorting ids as payload.
 
     gmax: [Q, n_groups] f32. Returns group ids [Q, k] (unsorted order of
     a sorted-by-max selection; the caller re-ranks candidates anyway).
@@ -171,18 +198,14 @@ def _select_groups(gmax: jnp.ndarray, k: int, fanout: Optional[int] = None) -> j
     _, ids = jax.lax.top_k(levels[-1], min(k, levels[-1].shape[1]))
     if ids.shape[1] < k:  # tiny corpus: every coarse entry selected
         ids = jnp.pad(ids, ((0, 0), (0, k - ids.shape[1])), mode="edge")
-    fan_offsets = jnp.arange(fanout, dtype=jnp.int32)
     for lvl in reversed(levels[:-1]):
-        member_vals = jnp.take_along_axis(
-            lvl.reshape(Q, -1, fanout), ids[:, :, None], axis=1
-        ).reshape(Q, fanout * k)
-        member_ids = (ids[:, :, None] * fanout + fan_offsets).reshape(Q, fanout * k)
-        # descending sort carrying ids as payload: same cost as top_k
-        # (which is sort-with-iota-payload), no posterior id gather
-        _, sorted_ids = jax.lax.sort(
-            (jnp.negative(member_vals), member_ids), dimension=1, num_keys=1
-        )
-        ids = sorted_ids[:, :k]
+        member_vals = gather_row_slices(lvl, ids * fanout, fanout).reshape(
+            Q, ids.shape[1] * fanout)
+        _, pos = jax.lax.top_k(member_vals, k)
+        # pos is parent-major (col = slot*fanout + m): recover the global
+        # id from the selected parents without sorting ids as payload
+        parent = jnp.take_along_axis(ids, pos // fanout, axis=1)
+        ids = parent * fanout + pos % fanout
     return ids
 
 
@@ -465,11 +488,41 @@ class Searcher:
         self.axis = axis
         self.chunk_size = chunk_size
         self.method = method
+        self._prep = None
+        self.dtype = corpus.dtype
         if mesh is not None:
             self.corpus, self.n_docs = shard_corpus(corpus, mesh, axis)
+        elif method == "pallas":
+            # hold the block-row layout (reshape+pad done ONCE, not per
+            # search — each costs a full corpus copy, ~21 ms at 2.21M docs)
+            from .pallas_mips import prepare_block_corpus
+
+            self.corpus = jnp.asarray(corpus)
+            self.n_docs = corpus.shape[0]
+            self._prep = prepare_block_corpus(self.corpus)
+            self.corpus = None  # the block layout IS the index; free the rest
         else:
             self.corpus = jnp.asarray(corpus)
             self.n_docs = corpus.shape[0]
+
+    def _kernel_search(self, queries):
+        """Pick the score-materializing core when the [Q, N] f32 score
+        array fits HBM next to the block corpus (profiled: its [Q, 8k]
+        score gather replaces a 12 KB/row block gather that runs at
+        ~137 GB/s); fall back to the score-free core at larger N*Q."""
+        from .pallas_mips import (GROUP, pallas_block_score_topk_prepared,
+                                  pallas_block_topk_prepared)
+
+        Q = queries.shape[0]
+        NBp = self._prep.cb.shape[0]
+        # residents: block layout (+ plain doc-major copy) + gmax
+        resident = self._prep.cb.size * 2 + Q * NBp * 4
+        if self._prep.plain is not None:
+            resident += self._prep.plain.size * 2
+        score_bytes = Q * GROUP * NBp * 4
+        if self._prep.plain is not None and resident + score_bytes < 12 * 2**30:
+            return pallas_block_score_topk_prepared(queries, self._prep, self.k)
+        return pallas_block_topk_prepared(queries, self._prep, self.k)
 
     def search(self, queries) -> Tuple[jnp.ndarray, jnp.ndarray]:
         queries = jnp.asarray(queries)
@@ -479,17 +532,14 @@ class Searcher:
                 self.chunk_size, self.method, n_valid=self.n_docs,
             )
         elif self.method == "pallas":
-            # fused-kernel score-free path (fastest measured single-chip;
-            # scales to corpora whose score matrix cannot fit in HBM)
-            from .pallas_mips import pallas_block_topk
-
-            s, i = pallas_block_topk(queries, self.corpus, k=self.k)
+            s, i = self._kernel_search(queries)
         else:
             s, i = exact_search(
                 queries, self.corpus, self.k, self.chunk_size, self.method
             )
-        if self.n_docs < self.corpus.shape[0]:
-            # demote padded rows and restore descending order
+        if self.corpus is not None and self.n_docs < self.corpus.shape[0]:
+            # demote padded rows and restore descending order (the pallas
+            # prepared path masks its own pad blocks internally)
             s = jnp.where(i < self.n_docs, s, -jnp.inf)
             s, pos = jax.lax.top_k(s, s.shape[1])
             i = jnp.take_along_axis(i, pos, axis=1)

@@ -21,7 +21,7 @@ is wider than fanout*k at any corpus size). See
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -312,6 +312,45 @@ def pallas_hier2_rescore(
 # ---------------------------------------------------------------------------
 
 
+class BlockCorpus(NamedTuple):
+    """One-time block-row layout of a corpus (see prepare_block_corpus)."""
+
+    cb: jnp.ndarray    # [NBp, GROUP*D] bf16 block rows, padded to tile_g
+    tail: jnp.ndarray  # [N % GROUP, D] ragged tail docs
+    n_docs: int        # true N (cb holds the first N - N%GROUP docs)
+    # [NBp*GROUP, D] plain doc-major padded corpus, or None. Same bytes as
+    # cb logically, but the (8,128)-tiled layouts differ so it is a real
+    # second copy — built only when the score-materializing path is viable
+    # (2x corpus HBM; the 8.8M single-chip regime skips it).
+    plain: Optional[jnp.ndarray] = None
+
+
+def prepare_block_corpus(
+    corpus: jnp.ndarray, tile_g: int = 256, with_plain: Optional[bool] = None,
+) -> BlockCorpus:
+    """Reshape [N, D] into block rows [NB, GROUP*D] and pad to a tile_g
+    multiple ONCE. Done per search call, the reshape and the pad each
+    materialize a full corpus copy on TPU (~21 ms at 2.21M docs,
+    profiled) — a Searcher holds the prepared layout instead.
+
+    ``with_plain`` additionally keeps a padded doc-major copy for the
+    score-materializing path; default: yes iff both copies fit comfortably
+    (corpus < 4 GiB)."""
+    N, D = corpus.shape
+    NB = N // GROUP
+    cb = corpus[: NB * GROUP].reshape(NB, GROUP * D)
+    pad_b = (-NB) % tile_g
+    if pad_b:
+        cb = jnp.pad(cb, ((0, pad_b), (0, 0)))
+    if with_plain is None:
+        with_plain = N * D * 2 <= 4 * 2**30
+    plain = None
+    if with_plain:
+        plain = jnp.pad(corpus[: NB * GROUP],
+                        ((0, pad_b * GROUP), (0, 0))) if pad_b else corpus[: NB * GROUP]
+    return BlockCorpus(cb=cb, tail=corpus[NB * GROUP:], n_docs=N, plain=plain)
+
+
 def _block_gmax_kernel(q_ref, cb_ref, g_ref):
     """q: [tq, D] bf16; cb: [tg, 8*D] bf16 (block row = 8 consecutive docs);
     g: [tq, tg] f32 per-block score max."""
@@ -395,47 +434,29 @@ def _auto_qb(Q: int, N: int, D: int, k: int) -> int:
     return -(-Q // n_chunks)  # equalize chunk sizes
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_g", "tile_q", "qb"))
-def pallas_block_topk(
-    queries: jnp.ndarray, corpus: jnp.ndarray, k: int = 1000,
-    tile_g: int = 256, tile_q: int = 512, qb: int = 0,
+@functools.partial(jax.jit, static_argnames=("n_docs", "k", "tile_g", "tile_q", "qb"))
+def _block_topk_core(
+    queries: jnp.ndarray, cb: jnp.ndarray, tail_rows: jnp.ndarray,
+    n_docs: int, k: int, tile_g: int, tile_q: int, qb: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact top-k, score-free, gather-light (the fast path on TPU).
-
-    Phase A: fused block-gmax kernel (corpus streamed once; only the
-    [Q, N/8] maxima land in HBM). Phase B: planned max-pyramid selection
-    (_select_groups) of the top-k blocks. Phase C: gather the k selected
-    CONTIGUOUS 8-doc block rows per query, rescore in fp32, and rank with
-    a variadic sort carrying doc ids as payload. The ragged tail (N % 8
-    docs) is scored densely in XLA and joined before the final sort.
-
-    Exact under bf16-input/fp32-accumulate scoring, like every other path
-    (ties at the k-th score may resolve differently than faiss fp32).
-    """
+    """Score-free block path over a prepared BlockCorpus (see
+    pallas_block_topk for the algorithm)."""
     Q, D = queries.shape
-    N = corpus.shape[0]
-    k = min(k, N)
-    if qb <= 0:
-        qb = _auto_qb(Q, N, D, k)
+    N = n_docs
     NB = N // GROUP
     tail = N - NB * GROUP
-    if NB // 2 <= k:
-        from .mips import exact_search
+    if qb <= 0:
+        qb = _auto_qb(Q, N, D, k)
 
-        return exact_search(queries, corpus, k=k)
-
-    pad_b = (-NB) % tile_g
-    cb = corpus[: NB * GROUP].reshape(NB, GROUP * D)
-    cb_padded = jnp.pad(cb, ((0, pad_b), (0, 0))) if pad_b else cb
-    gmax = fused_block_gmax(queries, cb_padded, tile_g, tile_q)  # [Q, NBp]
-    if pad_b:
+    gmax = fused_block_gmax(queries, cb, tile_g, tile_q)  # [Q, NBp]
+    if cb.shape[0] != NB:
         col = jax.lax.broadcasted_iota(jnp.int32, gmax.shape, 1)
         gmax = jnp.where(col < NB, gmax, jnp.finfo(jnp.float32).min)
 
     bid = _select_groups(gmax, k)  # [Q, k] block ids, auto-planned pyramid
 
     if tail:
-        tail_scores = jnp.dot(queries, corpus[NB * GROUP:].T,
+        tail_scores = jnp.dot(queries, tail_rows.T,
                               preferred_element_type=jnp.float32)  # [Q, tail]
         tail_ids = NB * GROUP + jnp.arange(tail, dtype=jnp.int32)
 
@@ -453,20 +474,180 @@ def pallas_block_topk(
         else:
             bids, qs = args
         rows = jnp.take(cb, bids.reshape(-1), axis=0)  # [qb*k, 8*D] contiguous
-        rows = rows.reshape(qb, k, GROUP, D)
-        sc = jnp.einsum("qkmd,qd->qkm", rows, qs,
-                        preferred_element_type=jnp.float32).reshape(qb, k * GROUP)
+        # layout-preserving views only ([qb*k, 8D] -> [qb, k*8, D]): a
+        # [qb, k, 8, D] einsum operand cost a 9.5 ms transposed-layout
+        # copy per chunk (profiled copy.92)
+        sc = jnp.einsum(
+            "qcd,qd->qc", rows.reshape(qb, k * GROUP, D), qs,
+            preferred_element_type=jnp.float32)
         ids = (bids[:, :, None] * GROUP + m_offsets).reshape(qb, k * GROUP)
         if tail:
             sc = jnp.concatenate([sc, ts], axis=1)
             ids = jnp.concatenate(
                 [ids, jnp.broadcast_to(tail_ids, (qb, tail))], axis=1)
-        # descending variadic sort carries doc ids through the sort network
-        neg_s, out_i = jax.lax.sort((jnp.negative(sc), ids), dimension=1, num_keys=1)
-        return -neg_s[:, :k], out_i[:, :k]
+        sb, pos = jax.lax.top_k(sc, k)
+        return sb, jnp.take_along_axis(ids, pos, axis=1)
 
     chunks = (bid_c, quer_c, tail_c) if tail else (bid_c, quer_c)
     s_chunks, i_chunks = jax.lax.map(rescore_chunk, chunks)
     s = s_chunks.reshape(-1, k)[:Q]
     idx = i_chunks.reshape(-1, k)[:Q]
     return s, idx
+
+
+def pallas_block_topk_prepared(
+    queries: jnp.ndarray, prep: BlockCorpus, k: int = 1000,
+    tile_g: int = 256, tile_q: int = 512, qb: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """pallas_block_topk over a prepared BlockCorpus (serving path: the
+    block layout is built once, not per query batch)."""
+    k = min(k, prep.n_docs)
+    if (prep.n_docs // GROUP) // 2 <= k:
+        from .mips import exact_search
+
+        corpus = jnp.concatenate(
+            [prep.cb[: prep.n_docs // GROUP].reshape(-1, queries.shape[1]),
+             prep.tail]) if prep.tail.shape[0] else \
+            prep.cb[: prep.n_docs // GROUP].reshape(-1, queries.shape[1])
+        return exact_search(queries, corpus[: prep.n_docs], k=k)
+    return _block_topk_core(queries, prep.cb, prep.tail, prep.n_docs, k,
+                            tile_g, tile_q, qb)
+
+
+def _score_only_kernel(q_ref, c_ref, s_ref):
+    """q: [tq, D] bf16; c: [TILE, D] bf16; s: [tq, TILE] f32 doc-major."""
+    s_ref[:] = jax.lax.dot_general(
+        q_ref[:], c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "tile_q"))
+def fused_scores(
+    queries: jnp.ndarray, corpus: jnp.ndarray, tile: int = 2048, tile_q: int = 256
+) -> jnp.ndarray:
+    """Doc-major scores [Q, N] f32 ([N, D] bf16 corpus, N % tile == 0).
+
+    Doc-major matters: block b's 8 member scores land CONTIGUOUS, so the
+    candidate fetch after block selection is a [Q, k] 32 B slice gather
+    (~10 ms at Q=512/k=1000) instead of a 4M-scalar-descriptor gather
+    (56 ms profiled for the member-major layout, + a 13 ms transpose)."""
+    Q, D = queries.shape
+    N = corpus.shape[0]
+    assert N % tile == 0, (N, tile)
+    per_step = 2 * (tile * D * 2 + tile_q * D * 2 + tile_q * tile * 4)
+    if per_step > _SCOPED_VMEM:
+        raise ValueError(f"tile={tile}, tile_q={tile_q} exceeds VMEM budget")
+    q_pad = (-Q) % tile_q
+    if q_pad:
+        queries = jnp.pad(queries, ((0, q_pad), (0, 0)))
+    Qp = Q + q_pad
+    scores = pl.pallas_call(
+        _score_only_kernel,
+        grid=(N // tile, Qp // tile_q),
+        in_specs=[
+            pl.BlockSpec((tile_q, D), lambda n, qb: (qb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, D), lambda n, qb: (n, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_q, tile), lambda n, qb: (qb, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Qp, N), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Qp * N * D,
+            bytes_accessed=Qp * D * 2 + N * D * 2 + Qp * N * 4,
+            transcendentals=0,
+        ),
+    )(queries, corpus)
+    return scores[:Q] if q_pad else scores
+
+
+@functools.partial(jax.jit, static_argnames=("n_docs", "k", "tile_g", "tile_q"))
+def _block_score_topk_core(
+    queries: jnp.ndarray, cb: jnp.ndarray, plain: jnp.ndarray,
+    tail_rows: jnp.ndarray, n_docs: int, k: int, tile_g: int, tile_q: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Score-materializing block path: the block kernel provides per-block
+    maxima for selection while a score-only kernel stores every doc score
+    DOC-MAJOR (f32 [Q, NBp*8]), so phase C is a [Q, k]-descriptor 32 B
+    slice gather instead of the 12 KB/row block-row gather (~137 GB/s,
+    46 ms per batch at 2.21M docs profiled). Only viable when Q*N*4 bytes
+    plus a second corpus copy fit HBM — the Searcher picks this path for
+    shard-sized corpora and the score-free core for bigger ones."""
+    from .mips import gather_row_slices
+
+    Q, D = queries.shape
+    N = n_docs
+    NB = N // GROUP
+    NBp = cb.shape[0]
+    tail = N - NB * GROUP
+
+    gmax = fused_block_gmax(queries, cb, tile_g, tile_q)  # [Q, NBp]
+    if NBp != NB:
+        col = jax.lax.broadcasted_iota(jnp.int32, gmax.shape, 1)
+        gmax = jnp.where(col < NB, gmax, jnp.finfo(jnp.float32).min)
+    # plain has NBp*8 rows = a multiple of tile_g*8, the score-tile width
+    scores = fused_scores(queries, plain, tile=tile_g * GROUP)  # [Q, NBp*8]
+
+    bid = _select_groups(gmax, k)  # [Q, k]
+
+    m_offsets = jnp.arange(GROUP, dtype=jnp.int32)
+    cand = gather_row_slices(scores, bid * GROUP, GROUP).reshape(Q, k * GROUP)
+    ids = (bid[:, :, None] * GROUP + m_offsets).reshape(Q, k * GROUP)
+    if tail:
+        tail_scores = jnp.dot(queries, tail_rows.T,
+                              preferred_element_type=jnp.float32)
+        cand = jnp.concatenate([cand, tail_scores], axis=1)
+        tail_ids = NB * GROUP + jnp.arange(tail, dtype=jnp.int32)
+        ids = jnp.concatenate([ids, jnp.broadcast_to(tail_ids, (Q, tail))], axis=1)
+    s, pos = jax.lax.top_k(cand, k)
+    return s, jnp.take_along_axis(ids, pos, axis=1)
+
+
+def pallas_block_score_topk_prepared(
+    queries: jnp.ndarray, prep: BlockCorpus, k: int = 1000,
+    tile_g: int = 256, tile_q: int = 512,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k via doc-major score materialization (fastest when the
+    [Q, N] f32 score array and a second corpus copy fit HBM)."""
+    k = min(k, prep.n_docs)
+    if prep.plain is None:
+        raise ValueError("BlockCorpus was prepared without the plain "
+                         "doc-major copy (with_plain=False)")
+    if (prep.n_docs // GROUP) // 2 <= k:
+        return pallas_block_topk_prepared(queries, prep, k)
+    if prep.cb.shape[0] % tile_g:
+        raise ValueError(
+            f"BlockCorpus padded to {prep.cb.shape[0]} blocks, not a "
+            f"multiple of tile_g={tile_g}; prepare with a compatible tile_g")
+    return _block_score_topk_core(queries, prep.cb, prep.plain, prep.tail,
+                                  prep.n_docs, k, tile_g, tile_q)
+
+
+def pallas_block_topk(
+    queries: jnp.ndarray, corpus: jnp.ndarray, k: int = 1000,
+    tile_g: int = 256, tile_q: int = 512, qb: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k, score-free, gather-light (the big-corpus path on TPU).
+
+    Phase A: fused block-gmax kernel (corpus streamed once; only the
+    [Q, N/8] maxima land in HBM). Phase B: planned max-pyramid selection
+    (_select_groups) of the top-k blocks. Phase C: gather the k selected
+    CONTIGUOUS 8-doc block rows per query, rescore in fp32, and rank with
+    lax.top_k. The ragged tail (N % 8 docs) is scored densely in XLA and
+    joined before the final ranking.
+
+    Exact under bf16-input/fp32-accumulate scoring, like every other path
+    (ties at the k-th score may resolve differently than faiss fp32).
+    Builds the block layout per call — hold a prepared BlockCorpus and
+    call pallas_block_topk_prepared when searching repeatedly.
+    """
+    N = corpus.shape[0]
+    k = min(k, N)
+    if (N // GROUP) // 2 <= k:
+        from .mips import exact_search
+
+        return exact_search(queries, corpus, k=k)
+    prep = prepare_block_corpus(corpus, tile_g)
+    return _block_topk_core(queries, prep.cb, prep.tail, N, k,
+                            tile_g, tile_q, qb)

@@ -106,6 +106,24 @@ def main():
 
         def fn(q, c):
             return jnp.sort(g + q[0, 0].astype(jnp.float32), axis=-1)
+    elif mode.startswith("sortpair_"):  # variadic sort w/ id payload [Q, W]
+        W = int(mode.split("_")[1])
+        g = jnp.asarray(rng.randn(Q, W).astype(np.float32))
+        ids = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32), (Q, W))
+
+        def fn(q, c):
+            neg_s, out_i = jax.lax.sort(
+                (jnp.negative(g + q[0, 0].astype(jnp.float32)), ids),
+                dimension=1, num_keys=1)
+            return neg_s[:, :K]
+    elif mode.startswith("topkgather_"):  # top_k + posterior id gather [Q, W]
+        W = int(mode.split("_")[1])
+        g = jnp.asarray(rng.randn(Q, W).astype(np.float32))
+        ids = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32), (Q, W))
+
+        def fn(q, c):
+            s, pos = jax.lax.top_k(g + q[0, 0].astype(jnp.float32), K)
+            return jnp.take_along_axis(ids, pos, axis=1) + s[:, :1].astype(jnp.int32)
     elif mode.startswith("approxk_"):
         W = int(mode.split("_")[1])
         g = jnp.asarray(rng.randn(Q, W).astype(np.float32))

@@ -169,12 +169,57 @@ class TestBlockTopk:
                                  tile_g=128, tile_q=8, qb=1)
         assert set(np.asarray(i)[0].tolist()) == set(cols) | {N - 2}
 
+    @pytest.mark.parametrize("N,k", [(70000, 50), (66003, 64)])
+    def test_prepared_matches_unprepared(self, interpret_pallas, N, k):
+        from openmatch_tpu.ops.pallas_mips import (
+            pallas_block_topk, pallas_block_topk_prepared, prepare_block_corpus)
+
+        rng = np.random.RandomState(1)
+        q = jnp.array(rng.randn(8, 32).astype(np.float32))
+        c = jnp.array(rng.randn(N, 32).astype(np.float32))
+        prep = prepare_block_corpus(c, tile_g=128)
+        s1, i1 = pallas_block_topk_prepared(q, prep, k=k, tile_g=128, tile_q=8, qb=4)
+        s2, i2 = pallas_block_topk(q, c, k=k, tile_g=128, tile_q=8, qb=4)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(i1), brute(np.asarray(q), np.asarray(c), k))
+
+    @pytest.mark.parametrize("N,k", [(70000, 50), (66003, 64), (131072, 9)])
+    def test_score_path_exact(self, interpret_pallas, N, k):
+        """Score-materializing block path vs brute force, incl. ragged tail."""
+        from openmatch_tpu.ops.pallas_mips import (
+            pallas_block_score_topk_prepared, prepare_block_corpus)
+
+        rng = np.random.RandomState(2)
+        q = jnp.array(rng.randn(8, 32).astype(np.float32))
+        c = jnp.array(rng.randn(N, 32).astype(np.float32))
+        prep = prepare_block_corpus(c, tile_g=128)
+        s, i = pallas_block_score_topk_prepared(q, prep, k=k, tile_g=128, tile_q=8)
+        np.testing.assert_array_equal(np.asarray(i), brute(np.asarray(q), np.asarray(c), k))
+        assert (np.diff(np.asarray(s), axis=1) <= 1e-6).all()
+
+    def test_score_path_clustered_block(self, interpret_pallas):
+        """All top columns inside one contiguous block + one in the tail."""
+        from openmatch_tpu.ops.pallas_mips import (
+            pallas_block_score_topk_prepared, prepare_block_corpus)
+
+        q = jnp.ones((1, 4), jnp.float32)
+        N = 131072 + 5
+        c = np.zeros((N, 4), np.float32)
+        cols = list(range(4096, 4104))
+        for col in cols:
+            c[col] = 3.0
+        c[N - 2] = 2.0
+        prep = prepare_block_corpus(jnp.array(c), tile_g=128)
+        s, i = pallas_block_score_topk_prepared(q, prep, k=9, tile_g=128, tile_q=8)
+        assert set(np.asarray(i)[0].tolist()) == set(cols) | {N - 2}
+
     def test_plan_pyramid(self):
         from openmatch_tpu.ops.mips import _plan_pyramid
 
         L, f = _plan_pyramid(125_000, 1000)
-        assert L == 1 and 8 <= f <= 16  # single expansion, sqrt-ish fanout
+        assert L >= 1 and f >= 2  # wide level: worth at least one expansion
+        assert 125_000 / (f ** L) > 1000  # coarse level still wider than k
         L0, _ = _plan_pyramid(3000, 1000)
         assert L0 == 0  # small width: plain top_k is cheapest
         L3, f3 = _plan_pyramid(1_105_000, 1000)
-        assert L3 >= 1
+        assert L3 >= 1 and 1_105_000 / (f3 ** L3) > 1000
