@@ -97,33 +97,36 @@ def _topk_ms(width: int) -> float:
     return 0.4 + (width / 1000.0) ** 1.5 / 13.0
 
 
-def _gather_ms(fanout: int) -> float:
-    """[Q, k]-descriptor slice gather cost (Q=512, k=1000 profiled):
-    descriptor-rate-bound at ~10 ns/descriptor for scalar rows rising
-    with slice bytes (~29 ns at 17 f32 per slice): ~5 ms + 0.6 ms per
-    fanout unit."""
-    return 5.0 + 0.6 * fanout
+def _gather_ms(src_width: int) -> float:
+    """Slab-gather cost per expansion (gather_row_slices: [Q, k] whole-slab
+    descriptors): transaction-bound, nearly independent of fanout but
+    growing with SOURCE width (wider f32 level = more HBM pages touched).
+    Profiled on v5e at Q=512, k=1000: 34,560-wide 6.1 ms, 276,480-wide
+    9.9 ms — fit ~5.2 ms + 8.5 ms/GiB of source."""
+    gib = src_width * 512 * 4 / 2**30
+    return 5.2 + 8.5 * gib
 
 
-_IDFIX_MS = 5.2  # [Q, k] <- [Q, k] parent-id gather per expansion (profiled)
+_IDFIX_MS = 0.9  # [Q, k] <- [Q, k] parent-id take_along_axis per expansion
 
 
 def _plan_pyramid(W: int, k: int):
     """Pick (levels, fanout) minimizing modeled selection cost.
 
-    cost(L, f) = topk(W / f^L) + L * (gather(f) + topk(f*k) + idfix).
-    Every expansion pays a fixed Q*k descriptor tax twice (member-slice
-    gather + parent-id fix), so FEWER levels win; evaluate L = 0..3 over
-    candidate fanouts and keep the cheapest plan whose coarse level still
-    has > k entries."""
+    cost(L, f) = topk(W / f^L) + sum_i [gather(level_i) + topk(f*k) +
+    idfix]: more levels shrink the coarse top_k but each expansion pays a
+    member slab gather (priced by its level's width) + a [Q, f*k] top_k.
+    Evaluate L = 0..3 over candidate fanouts and keep the cheapest plan
+    whose coarse level still has > k entries."""
     best = (0, 1, _topk_ms(W))
     for L in (1, 2, 3):
         for f in (2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64):
             coarse = W / (f ** L)
             if coarse <= k:
                 continue
-            cost = _topk_ms(coarse) + L * (
-                _gather_ms(f) + _topk_ms(f * k) + _IDFIX_MS)
+            cost = _topk_ms(coarse) + sum(
+                _gather_ms(W / (f ** i)) + _topk_ms(f * k) + _IDFIX_MS
+                for i in range(L))
             if cost < best[2]:
                 best = (L, f, cost)
     return best[0], best[1]
@@ -132,16 +135,22 @@ def _plan_pyramid(W: int, k: int):
 def gather_row_slices(arr: jnp.ndarray, starts: jnp.ndarray, size: int) -> jnp.ndarray:
     """out[q, j, :] = arr[q, starts[q, j] : starts[q, j] + size].
 
-    Vmapped dynamic_slice lowers to ONE lax.gather with [Q, k] slice
-    descriptors of ``size`` contiguous elements — profiled ~3x cheaper
-    than take_along_axis with per-element columns (descriptor-rate-bound,
-    ~10-30 ns/descriptor vs Q*k*size scalar descriptors) and it reads the
-    2D array directly where a [Q, W/f, f] reshape materializes. OOB
-    starts clamp (dynamic_slice semantics)."""
-    return jax.vmap(
-        lambda row, ss: jax.vmap(
-            lambda s: jax.lax.dynamic_slice(row, (s,), (size,)))(ss)
-    )(arr, starts)
+    CONTRACT: every start must be a multiple of ``size`` (callers pass
+    ``parent_id * size``); whole-slab fetches are what makes this cheap.
+
+    Random reads from a wide HBM-resident source are transaction-bound
+    (~20 ns per touched 32 B line on v5e, any formulation), so the only
+    lever is descriptors-per-byte: gather one (1, size) SLAB per (q, j)
+    via a [Q, W/size, size] 3D view (minor-dim split — layout-preserving,
+    no copy) + take_along_axis over axis 1. Profiled ~8x cheaper than
+    per-element expanded columns from the same source. (A vmapped
+    dynamic_slice batched gather is worse still — 1.28 s where this takes
+    ~10 ms.) OOB indices clamp (mode="clip")."""
+    Q, k = starts.shape
+    W = arr.shape[1]
+    assert W % size == 0, (W, size)
+    return jnp.take_along_axis(
+        arr.reshape(Q, W // size, size), (starts // size)[:, :, None], axis=1)
 
 
 def _select_groups(gmax: jnp.ndarray, k: int, fanout: Optional[int] = None) -> jnp.ndarray:
@@ -159,16 +168,15 @@ def _select_groups(gmax: jnp.ndarray, k: int, fanout: Optional[int] = None) -> j
     a 137k-wide array per query; the pyramid sorts nothing wider than
     fanout*k.
 
-    Gathers are the TPU tax here, not top_k calls (profiled on v5e at
-    Q=512, k=1000: XLA TopK ~0.2 ms/1000 cols; minor-axis gathers
-    ~0.9 ms/1000 cols, descriptor-rate-bound; a 3-operand payload sort
-    over [512, 17k] costs 14 ms where TopK costs 5). So each expansion
-    (a) gathers member values FLAT from the level array (a 3D
-    [Q, parents, fanout] reshape materializes with a transposed layout —
-    profiled 2 ms + a 15 ms strided gather), (b) ranks them with
-    lax.top_k, and (c) reconstructs global ids ARITHMETICALLY from the
-    returned positions (parent = pos // fanout via one tiny [Q, k]
-    gather), never sorting ids as payload.
+    Primitive choices, profiled on v5e at Q=512, k=1000: minor-axis
+    take_along_axis runs ~0.9 ms/1000 cols and XLA TopK ~0.2 ms/1000
+    cols, while a 3-operand payload sort over [512, 17k] costs 14 ms
+    where TopK costs 5, and a batched-dynamic-slice gather lowers
+    pathologically (1.28 s). So each expansion (a) fetches member values
+    with ONE flat take_along_axis (gather_row_slices), (b) ranks them
+    with lax.top_k, and (c) reconstructs global ids ARITHMETICALLY from
+    the returned positions (parent = pos // fanout via one tiny [Q, k]
+    take_along_axis), never sorting ids as payload.
 
     gmax: [Q, n_groups] f32. Returns group ids [Q, k] (unsorted order of
     a sorted-by-max selection; the caller re-ranks candidates anyway).
@@ -449,6 +457,51 @@ def sharded_search(
     return _search(queries, corpus)
 
 
+def query_sharded_search(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    k: int,
+    mesh: Mesh,
+    axis: str = "data",
+    chunk_size: int = 0,
+    method: str = "hier2",
+    n_valid: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k with the CORPUS REPLICATED and queries row-sharded.
+
+    The serving shape for chips whose HBM holds the whole corpus (a v4's
+    32 GiB holds all 8.8M MS MARCO passages at 13.5 GiB bf16): every chip
+    searches the full corpus for its slice of the query batch, so there is
+    NO cross-chip candidate merge at all — zero collectives, and the
+    per-query selection work (which scales with the local query count)
+    drops by the axis size. Compare ``sharded_search`` (corpus row-sharded,
+    [devices, Q, k] all_gather + merge), the shape for corpora larger than
+    one chip's HBM. Replaces faiss index replication across GPUs
+    (reference dense_retriever.py:43-58 non-shard branch).
+
+    queries rows must be divisible by the axis size (pad upstream).
+    """
+    if mesh is None:
+        raise ValueError("query_sharded_search requires a Mesh")
+    n_shards = mesh.shape[axis]
+    Q = queries.shape[0]
+    assert Q % n_shards == 0, f"query rows {Q} % shards {n_shards} != 0"
+    k = min(k, corpus.shape[0])
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P()),
+        out_specs=(P(axis, None), P(axis, None)),
+        check_vma=False,
+    )
+    def _search(q_shard, c):
+        return exact_search(q_shard, c, k=k, chunk_size=chunk_size,
+                            method=method, valid_rows=n_valid)
+
+    return _search(queries, corpus)
+
+
 def shard_corpus(corpus, mesh: Mesh, axis: str = "data"):
     """Place a host corpus array row-sharded on the mesh (pads to axis size)."""
     import numpy as np
@@ -478,19 +531,32 @@ class Searcher:
         axis: str = "data",
         chunk_size: int = 0,
         method: str = "auto",
+        partition: str = "docs",
     ):
+        """``partition`` (with a mesh): "docs" row-shards the corpus over
+        the axis (sharded_search, candidate all_gather merge — for corpora
+        larger than one chip's HBM); "queries" replicates the corpus and
+        splits query batches (query_sharded_search, zero collectives — the
+        fast shape when the corpus fits every chip)."""
         if method == "auto":
             # fused Pallas kernels on real hardware; the scan path on CPU
             # (interpret-mode Pallas would be pathologically slow)
             method = "pallas" if jax.default_backend() != "cpu" else "hier2"
+        if partition not in ("docs", "queries"):
+            raise ValueError(f"unknown partition {partition!r}")
         self.k = k
         self.mesh = mesh
         self.axis = axis
         self.chunk_size = chunk_size
         self.method = method
+        self.partition = partition
         self._prep = None
         self.dtype = corpus.dtype
-        if mesh is not None:
+        if mesh is not None and partition == "queries":
+            self.corpus = jax.device_put(
+                jnp.asarray(corpus), NamedSharding(mesh, P(None, None)))
+            self.n_docs = corpus.shape[0]
+        elif mesh is not None:
             self.corpus, self.n_docs = shard_corpus(corpus, mesh, axis)
         elif method == "pallas":
             # hold the block-row layout (reshape+pad done ONCE, not per
@@ -526,7 +592,20 @@ class Searcher:
 
     def search(self, queries) -> Tuple[jnp.ndarray, jnp.ndarray]:
         queries = jnp.asarray(queries)
-        if self.mesh is not None:
+        if self.mesh is not None and self.partition == "queries":
+            n = self.mesh.shape[self.axis]
+            q_pad = (-queries.shape[0]) % n
+            if q_pad:
+                queries = jnp.pad(queries, ((0, q_pad), (0, 0)))
+            local_method = ("pyramid" if self.method in ("pallas", "auto")
+                            else self.method)
+            s, i = query_sharded_search(
+                queries, self.corpus, self.k, self.mesh, self.axis,
+                self.chunk_size, local_method,
+            )
+            if q_pad:
+                s, i = s[:-q_pad], i[:-q_pad]
+        elif self.mesh is not None:
             s, i = sharded_search(
                 queries, self.corpus, self.k, self.mesh, self.axis,
                 self.chunk_size, self.method, n_valid=self.n_docs,

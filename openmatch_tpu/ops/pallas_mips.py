@@ -447,6 +447,9 @@ def _block_topk_core(
     tail = N - NB * GROUP
     if qb <= 0:
         qb = _auto_qb(Q, N, D, k)
+    # don't pad small query batches up to a 512-row kernel tile (the
+    # query-split serving shape runs Q=128 per chip)
+    tile_q = min(tile_q, max(128, -(-Q // 128) * 128))
 
     gmax = fused_block_gmax(queries, cb, tile_g, tile_q)  # [Q, NBp]
     if cb.shape[0] != NB:
@@ -581,13 +584,15 @@ def _block_score_topk_core(
     NB = N // GROUP
     NBp = cb.shape[0]
     tail = N - NB * GROUP
+    tile_q = min(tile_q, max(128, -(-Q // 128) * 128))
 
     gmax = fused_block_gmax(queries, cb, tile_g, tile_q)  # [Q, NBp]
     if NBp != NB:
         col = jax.lax.broadcasted_iota(jnp.int32, gmax.shape, 1)
         gmax = jnp.where(col < NB, gmax, jnp.finfo(jnp.float32).min)
     # plain has NBp*8 rows = a multiple of tile_g*8, the score-tile width
-    scores = fused_scores(queries, plain, tile=tile_g * GROUP)  # [Q, NBp*8]
+    scores = fused_scores(queries, plain, tile=tile_g * GROUP,
+                          tile_q=min(256, tile_q))  # [Q, NBp*8]
 
     bid = _select_groups(gmax, k)  # [Q, k]
 

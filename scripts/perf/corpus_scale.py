@@ -41,7 +41,10 @@ def main():
     tail = N - NB * GROUP
     NBp = -(-NB // TILE_G) * TILE_G
 
-    chunk = 138_154  # block rows per fill step (~1.7 GB)
+    # block rows per fill step: the RNG transient (u32 bits + f32 normal +
+    # bf16 block) rides on top of the 13.6 GB donated buffer, so keep each
+    # step ~210 MB — 1.7 GB steps RESOURCE_EXHAUSTED a 16 GB v5e
+    chunk = 17_269
     n_chunks = -(-NBp // chunk)
 
     @partial(jax.jit, donate_argnums=(0,), static_argnames=("rows",))

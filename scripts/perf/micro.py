@@ -132,11 +132,21 @@ def main():
             return jax.lax.approx_max_k(g + q[0, 0].astype(jnp.float32), K)[0]
     elif mode.startswith("gather_minor_"):  # take_along_axis cols from [Q, W]
         W = int(mode.split("_")[-1])
-        src = jnp.asarray(rng.randn(Q, W).astype(np.float32))
+        corpus = jnp.asarray(rng.randn(Q, W).astype(np.float32))
         idx = jnp.asarray(rng.randint(0, W, size=(Q, 8000)), jnp.int32)
 
         def fn(q, c):
-            return jnp.take_along_axis(src + q[0, 0].astype(jnp.float32), idx, axis=1)
+            return jnp.take_along_axis(c + q[0, 0].astype(jnp.float32), idx, axis=1)
+    elif mode.startswith("slab_gather_"):  # [Q,k,1] gather of 8-col slabs
+        W = int(mode.split("_")[-1])
+        # pass the source as the loop ARG (a closed-over array this big
+        # would be serialized into the program upload by the tunnel)
+        corpus = jnp.asarray(rng.randn(Q, W).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, W // 8, size=(Q, K)), jnp.int32)
+
+        def fn(q, c):
+            s3 = (c + q[0, 0].astype(jnp.float32)).reshape(Q, W // 8, 8)
+            return jnp.take_along_axis(s3, idx[:, :, None], axis=1)
     elif mode == "gather_rows":  # corpus-row gather (rescore phase C shape)
         QB = 32
         idx = jnp.asarray(rng.randint(0, N, size=(Q, 8000)), jnp.int32)
@@ -176,6 +186,46 @@ def main():
 
         def fn(q, c):
             return fused_block_gmax(q, cb, tile_g=tg, tile_q=tq)
+    elif mode == "scores_kernel":  # doc-major score store alone
+        from openmatch_tpu.ops.pallas_mips import fused_scores
+
+        Np = -(-N // 2048) * 2048
+        cp = pad_to(corpus, 2048)
+        corpus = jnp.zeros((8, D), jnp.bfloat16)
+
+        def fn(q, c):
+            return fused_scores(q, cp, tile=2048)
+    elif mode == "score_full":  # score-materializing block path, prepared
+        from openmatch_tpu.ops.pallas_mips import (
+            pallas_block_score_topk_prepared, prepare_block_corpus)
+
+        prep = prepare_block_corpus(corpus, with_plain=True)
+        corpus = jnp.zeros((8, D), jnp.bfloat16)  # free the original
+
+        def fn(q, c):
+            return pallas_block_score_topk_prepared(q, prep, k=K)[0]
+    elif mode == "block_prep_full":  # score-free block path, prepared
+        from openmatch_tpu.ops.pallas_mips import (
+            pallas_block_topk_prepared, prepare_block_corpus)
+
+        prep = prepare_block_corpus(corpus, with_plain=False)
+        corpus = jnp.zeros((8, D), jnp.bfloat16)
+
+        def fn(q, c):
+            return pallas_block_topk_prepared(q, prep, k=K)[0]
+    elif mode == "cand_slices":  # [Q,k] 8-wide slice gather + final topk
+        import jax.random as jr
+        from openmatch_tpu.ops.mips import gather_row_slices
+
+        scores = jr.normal(jr.PRNGKey(0), (Q, N), jnp.float32)
+        bid = jr.randint(jr.PRNGKey(1), (Q, K), 0, N // 8)
+        corpus = jnp.zeros((8, D), jnp.bfloat16)
+
+        def fn(q, c):
+            cand = gather_row_slices(
+                scores + q[0, 0].astype(jnp.float32), bid * 8, 8
+            ).reshape(Q, K * 8)
+            return jax.lax.top_k(cand, K)[0]
     elif mode == "hier2_full":
         from openmatch_tpu.ops.mips import exact_search
 

@@ -1,0 +1,94 @@
+"""Time one phase of the score-materializing block path in isolation.
+
+One phase per process (clean HBM, small compiles over the remote tunnel):
+
+    python scripts/perf/score_path_phases.py PHASE [N] [Q] [K]
+
+PHASE:
+  a1    fused_block_gmax over the block-row corpus
+  a2    fused_scores doc-major score store over the plain corpus
+  sel   _select_groups max-pyramid over synthetic gmax [Q, N/8]
+  cand  gather_row_slices candidate fetch + final top_k over synthetic
+        scores [Q, N] (the phase-C shape)
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def timed(label, fn, *args, reps=3):
+    out = fn(*args)
+    for leaf in (out if isinstance(out, tuple) else (out,)):
+        np.asarray(leaf.ravel()[0:1])
+    del out
+    t0 = time.time()
+    out = None
+    for _ in range(reps):
+        del out  # free before the next alloc: avoid 2x transients
+        out = fn(*args)
+    for leaf in (out if isinstance(out, tuple) else (out,)):
+        np.asarray(leaf.ravel()[0:1])
+    dt = (time.time() - t0) / reps
+    print(f"{label}: {dt * 1000:.1f} ms", flush=True)
+    return out
+
+
+def main():
+    phase = sys.argv[1]
+    N = int(sys.argv[2]) if len(sys.argv) > 2 else 2_210_456
+    Q = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+    K = int(sys.argv[4]) if len(sys.argv) > 4 else 1000
+    D = 768
+    GROUP = 8
+
+    from openmatch_tpu.drivers.common import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    NB = N // GROUP
+    NBp = -(-NB // 256) * 256
+
+    if phase == "a1":
+        from openmatch_tpu.ops.pallas_mips import fused_block_gmax
+
+        cb = jr.normal(jr.PRNGKey(0), (NBp, GROUP * D), jnp.bfloat16)
+        q = jr.normal(jr.PRNGKey(1), (Q, D), jnp.bfloat16)
+        timed("a1 fused_block_gmax", lambda: fused_block_gmax(q, cb))
+    elif phase == "a2":
+        from openmatch_tpu.ops.pallas_mips import fused_scores
+
+        plain = jr.normal(jr.PRNGKey(0), (NBp * GROUP, D), jnp.bfloat16)
+        q = jr.normal(jr.PRNGKey(1), (Q, D), jnp.bfloat16)
+        timed("a2 fused_scores", lambda: fused_scores(q, plain, tile=2048))
+    elif phase == "sel":
+        from openmatch_tpu.ops.mips import _select_groups
+
+        g = jr.normal(jr.PRNGKey(0), (Q, NBp), jnp.float32)
+        select = jax.jit(lambda g: _select_groups(g, K))
+        timed("sel _select_groups", select, g)
+    elif phase == "cand":
+        from openmatch_tpu.ops.mips import gather_row_slices
+
+        scores = jr.normal(jr.PRNGKey(0), (Q, NBp * GROUP), jnp.float32)
+        bid = jr.randint(jr.PRNGKey(1), (Q, K), 0, NB, jnp.int32)
+
+        @jax.jit
+        def cand_rank(scores, bid):
+            cand = gather_row_slices(scores, bid * GROUP, GROUP).reshape(Q, K * GROUP)
+            ids = (bid[:, :, None] * GROUP
+                   + jnp.arange(GROUP, dtype=jnp.int32)).reshape(Q, K * GROUP)
+            s, pos = jax.lax.top_k(cand, K)
+            return s, jnp.take_along_axis(ids, pos, axis=1)
+
+        timed("cand gather+rank", cand_rank, scores, bid)
+    else:
+        raise SystemExit(f"unknown phase {phase}")
+
+
+if __name__ == "__main__":
+    main()

@@ -86,6 +86,37 @@ class TestShardedSearch:
         np.testing.assert_array_equal(np.asarray(i), ei)
 
 
+class TestQueryShardedSearch:
+    def test_matches_numpy(self, data, mesh8):
+        from openmatch_tpu.ops.mips import query_sharded_search
+
+        q, c = data
+        q8 = np.concatenate([q, q[:1]])  # 8 rows, one per device
+        s, i = query_sharded_search(jnp.array(q8), jnp.array(c), k=10,
+                                    mesh=mesh8)
+        es, ei = brute_topk(q8, c, 10)
+        np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i), ei)
+
+    def test_searcher_query_partition_pads_queries(self, data, mesh8):
+        q, c = data  # 7 queries: pads to 8 internally, trimmed on return
+        searcher = Searcher(c, k=10, mesh=mesh8, partition="queries")
+        s, i = searcher.search(q)
+        es, ei = brute_topk(q, c, 10)
+        assert i.shape == (7, 10)
+        np.testing.assert_array_equal(np.asarray(i), ei)
+        np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5)
+
+    def test_matches_doc_partition(self, data, mesh8):
+        q, c = data
+        by_docs = Searcher(c, k=5, mesh=mesh8, partition="docs")
+        by_queries = Searcher(c, k=5, mesh=mesh8, partition="queries")
+        sd, idd = by_docs.search(q)
+        sq, idq = by_queries.search(q)
+        np.testing.assert_array_equal(np.asarray(idd), np.asarray(idq))
+        np.testing.assert_allclose(np.asarray(sd), np.asarray(sq), rtol=1e-5)
+
+
 class TestHierMethod:
     def test_hier_matches_numpy_large(self):
         """hier path needs n_groups > k; use a corpus big enough to engage it."""
