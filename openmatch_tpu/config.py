@@ -143,6 +143,11 @@ class InferenceArguments:
     search_method: str = field(default="auto", metadata={
         "help": "exact-MIPS engine: auto (pallas kernels on TPU, scan on "
                 "CPU) | pallas | pyramid | hier2 | hier | topk | approx"})
+    search_partition: str = field(default="docs", metadata={
+        "help": "multi-chip search layout: docs (corpus row-sharded over "
+                "the mesh, candidate all-gather merge) | queries (corpus "
+                "replicated per chip, query batch split, no collectives "
+                "- fastest when the index fits each chip's HBM)"})
     max_inmem_docs: int = field(
         default=4_000_000,
         metadata={"help": "docs per partition for successive (memory-bounded) retrieval"},

@@ -114,6 +114,10 @@ class Retriever:
         searcher = Searcher(
             jnp.asarray(self.doc_embeddings, search_dtype), k=topk, mesh=self.mesh,
             method=getattr(self.args, "search_method", "auto"),
+            # "queries" replicates the index per chip and splits query
+            # batches (no collectives) — the fast shape when the corpus
+            # fits each chip's HBM; "docs" row-shards the corpus
+            partition=getattr(self.args, "search_partition", "docs"),
         )
         scores, indices = searcher.search(jnp.asarray(q_embeddings, search_dtype))
         return _to_result(np.asarray(scores), np.asarray(indices), qids, self.doc_ids)
