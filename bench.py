@@ -7,23 +7,31 @@ Baseline (BASELINE.json): >=10k QPS exact top-1k over the 8.8M-doc MS MARCO
 corpus on a v4-8 (4 chips).
 
 Deployment shape measured: QUERY-SPLIT. The whole corpus (8,841,823 x 768
-bf16 = 13.5 GiB) fits each chip's HBM (v4: 32 GiB; fits this v5e's 16 GiB
-too), so the index is REPLICATED per chip and a query batch is split 4
-ways — 128 queries per chip, each chip searching the full corpus, ZERO
-cross-chip communication (ops/mips.query_sharded_search). This beats the
-corpus-sharded shape (r1/r2 bench): per-query selection work scales with
-the local query count, and the [devices, Q, k] all-gather merge disappears.
+bf16 = 12.7 GiB) fits each chip's HBM (v4: 32 GiB per chip), so the index
+is REPLICATED per chip and a query batch is split 4 ways — 128 queries per
+chip, each chip searching the full corpus, ZERO cross-chip communication
+(ops/mips.query_sharded_search). This beats the corpus-sharded shape
+(r1 bench): per-query selection work scales with the local query count,
+and the [devices, Q, k] all-gather merge disappears.
 
-This box has ONE chip, so the 4-chip batch time IS the measured single-chip
-time for its 128-query slice — the four slices run concurrently with no
-interaction. No linear-scaling assumption is involved (VERDICT r1 weak #3):
-  t_slice   — measured: full search pipeline, Q=128, all 8.8M docs, 1 chip.
+The 4-chip batch time IS the single-chip time for a 128-query slice — the
+four slices run concurrently with no interaction — so one chip measures it
+directly (VERDICT r1 weak #3):
+  t_slice   — measured: full search pipeline, Q=128, all N docs, 1 chip.
   projected_qps = 512 / t_slice   (4 chips serve 4 slices in parallel)
 
-"value" is the MEASURED single-chip QPS (128 / t_slice); "vs_baseline" is
-projected_qps / 10000. The corpus is built directly in the BlockCorpus
-block-row layout via donated chunked writes (never 2x resident). Exactness
-at this scale is audited separately by scripts/perf/corpus_scale.py
+HBM adaptivity: this v5e has 16 GiB (vs the v4's 32) and the axon tunnel
+transiently holds leaked buffers from failed/killed clients (reclaimed on
+a ~10-20 min horizon), so the full index may not fit at run time. The
+script measures an ASCENDING ladder of corpus sizes, stopping at the
+first build failure — at most one failed allocation per run, since failed
+allocations themselves leak until reclaim. If 8.8M was measured directly,
+vs_baseline uses it; otherwise t(8.8M) is extrapolated along the affine
+slope fitted to the two largest measured sizes (and the metric label says
+so).
+
+"value" is the MEASURED single-chip QPS (128 / t_slice) at the largest
+measured N. Exactness at scale is audited by scripts/perf/corpus_scale.py
 (recall vs an independent chunked top-k pass).
 """
 
@@ -37,6 +45,75 @@ import numpy as np
 GROUP = 8
 TILE_G = 256
 TARGET_QPS = 10_000.0
+N_FULL = 8_841_823
+D = 768
+Q_GLOBAL, Q_CHIP, K = 512, 128, 1000
+# ascending measurement ladder: kept coarse so a bench run compiles at
+# most 5 shapes (each fresh shape costs minutes over the remote-compile
+# tunnel on the first run; the persistent cache makes reruns cheap)
+LADDER = (1_105_227, 2_210_456, 4_420_911, N_FULL)
+
+
+def build_block_corpus(jax, jnp, n_docs, seed=0):
+    """BlockCorpus built directly in block-row layout via donated chunked
+    writes (never 2x resident; ~210 MB RNG transient per step).
+
+    Raises RuntimeError when the buffer cannot be allocated after waiting
+    out the tunnel's lazy reclaim (leaked server-side buffers return on a
+    ~10-20 min horizon)."""
+    from openmatch_tpu.ops.pallas_mips import BlockCorpus
+
+    NB = n_docs // GROUP
+    tail = n_docs - NB * GROUP
+    NBp = -(-NB // TILE_G) * TILE_G
+    chunk = 17_269
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnames=("rows",))
+    def fill(buf, key, start, rows):
+        block = jax.random.normal(key, (rows, GROUP * D), jnp.bfloat16)
+        return jax.lax.dynamic_update_slice(buf, block, (start, 0))
+
+    cb = None
+    for wait_s in (0, 20, 40, 60, 90, 120):
+        time.sleep(wait_s)
+        try:
+            cb = jnp.zeros((NBp, GROUP * D), jnp.bfloat16)
+            np.asarray(cb.ravel()[0:1])
+            break
+        except Exception:
+            cb = None
+    if cb is None:
+        raise RuntimeError(f"corpus buffer ({NBp * GROUP * D * 2 / 2**30:.1f}"
+                           " GiB) would not allocate after retries")
+    n_chunks = -(-NB // chunk)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_chunks)
+    for i in range(n_chunks):
+        rows = min(chunk, NB - i * chunk)
+        cb = fill(cb, keys[i], i * chunk, rows=rows)
+    tail_rows = jax.random.normal(jax.random.PRNGKey(seed + 7), (tail, D),
+                                  jnp.bfloat16)
+    np.asarray(cb.ravel()[0:1])
+    return BlockCorpus(cb=cb, tail=tail_rows, n_docs=n_docs)
+
+
+def time_slice(jax, jnp, n_docs, reps=5):
+    """Measured seconds per Q_CHIP-query batch over n_docs on this chip."""
+    from openmatch_tpu.ops.pallas_mips import pallas_block_topk_prepared
+
+    prep = build_block_corpus(jax, jnp, n_docs)
+    queries = jax.random.normal(jax.random.PRNGKey(1), (Q_CHIP, D), jnp.bfloat16)
+
+    def run():
+        return pallas_block_topk_prepared(queries, prep, k=K)[0]
+
+    # warm (compile); block via host readback — device sync is unreliable
+    # through the remote-tunnel platform
+    np.asarray(run().ravel()[0:1])
+    t0 = time.time()
+    for _ in range(reps):
+        out = run()
+    np.asarray(out.ravel()[0:1])  # device executes in-order; waits for all
+    return (time.time() - t0) / reps
 
 
 def main():
@@ -47,65 +124,68 @@ def main():
     import jax.numpy as jnp
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    N = 8_841_823 if on_tpu else 100_000
-    Q_GLOBAL, Q_CHIP, K = 512, 128, 1000
-    D = 768
     n_chips = Q_GLOBAL // Q_CHIP
 
     if not on_tpu:  # CPU fallback keeps the harness runnable anywhere
         from openmatch_tpu.ops.mips import Searcher
 
+        N = 100_000
         rng = np.random.RandomState(0)
         corpus = jnp.asarray(rng.randn(N, D).astype(np.float32), jnp.bfloat16)
         queries = jnp.asarray(rng.randn(Q_CHIP, D).astype(np.float32), jnp.bfloat16)
         searcher = Searcher(corpus, k=K, method="auto")
         run = lambda: searcher.search(queries)[0]
+        np.asarray(run().ravel()[0:1])
+        t0 = time.time()
+        for _ in range(3):
+            out = run()
+        np.asarray(out.ravel()[0:1])
+        t = (time.time() - t0) / 3
+        print(json.dumps({
+            "metric": f"exact_top{K}_search_qps_{N / 1e6:.1f}M_docs_cpu",
+            "value": round(Q_CHIP / t, 1),
+            "unit": "qps",
+            "vs_baseline": round(Q_GLOBAL / t / TARGET_QPS, 3),
+        }))
+        return
+
+    # ascending ladder: measure every size that fits; the first build
+    # failure stops escalation (at most one failed allocation per run)
+    times = {}
+    for n in LADDER:
+        try:
+            times[n] = time_slice(jax, jnp, n)
+        except RuntimeError as e:
+            print(f"N={n}: {e}", file=sys.stderr)
+            break
+        print(f"t_slice(N={n}) = {times[n] * 1e3:.1f} ms", file=sys.stderr)
+    if not times:
+        raise SystemExit("no ladder size fit in HBM")
+
+    n_meas = max(times)
+    t_meas = times[n_meas]
+    if n_meas == N_FULL:
+        t_full, label = t_meas, "8.8M_docs_direct"
     else:
-        from openmatch_tpu.ops.pallas_mips import (
-            BlockCorpus, pallas_block_topk_prepared)
+        sizes = sorted(times)[-2:]
+        if len(sizes) == 2:
+            slope = (times[sizes[1]] - times[sizes[0]]) / (sizes[1] - sizes[0])
+        else:  # single point: per-doc scaling upper bound
+            slope = times[sizes[0]] / sizes[0]
+        t_full = t_meas + slope * (N_FULL - n_meas)
+        label = f"{n_meas / 1e6:.1f}M_docs_slope_extrapolated"
+        print(f"affine t(8.8M) = {t_full * 1e3:.1f} ms "
+              f"(slope {slope * 1e9:.2f} ms/Mdoc)", file=sys.stderr)
 
-        NB = N // GROUP
-        tail = N - NB * GROUP
-        NBp = -(-NB // TILE_G) * TILE_G
-        chunk = 17_269  # block rows per fill step (~210 MB + RNG transients)
-
-        @partial(jax.jit, donate_argnums=(0,), static_argnames=("rows",))
-        def fill(buf, key, start, rows):
-            block = jax.random.normal(key, (rows, GROUP * D), jnp.bfloat16)
-            return jax.lax.dynamic_update_slice(buf, block, (start, 0))
-
-        cb = jnp.zeros((NBp, GROUP * D), jnp.bfloat16)
-        n_chunks = -(-NB // chunk)
-        keys = jax.random.split(jax.random.PRNGKey(0), n_chunks)
-        for i in range(n_chunks):
-            rows = min(chunk, NB - i * chunk)
-            cb = fill(cb, keys[i], i * chunk, rows=rows)
-        tail_rows = jax.random.normal(jax.random.PRNGKey(7), (tail, D), jnp.bfloat16)
-        np.asarray(cb.ravel()[0:1])
-        prep = BlockCorpus(cb=cb, tail=tail_rows, n_docs=N)
-        queries = jax.random.normal(jax.random.PRNGKey(1), (Q_CHIP, D), jnp.bfloat16)
-        run = lambda: pallas_block_topk_prepared(queries, prep, k=K)[0]
-
-    # warm (compile); block via host readback — device sync is unreliable
-    # through the remote-tunnel platform
-    np.asarray(run().ravel()[0:1])
-    reps = 5
-    t0 = time.time()
-    for _ in range(reps):
-        out = run()
-    np.asarray(out.ravel()[0:1])  # device executes in-order; waits for all
-    t_slice = (time.time() - t0) / reps
-
-    qps_chip = Q_CHIP / t_slice
-    projected = n_chips * qps_chip
+    projected = Q_GLOBAL / t_full
     print(
-        f"t_slice={t_slice * 1e3:.1f}ms (Q={Q_CHIP}, N={N}, 1 chip) "
-        f"projected {n_chips}-chip replicated-index qps={projected:,.0f}",
+        f"t_slice={t_meas * 1e3:.1f}ms (Q={Q_CHIP}, N={n_meas}, 1 chip); "
+        f"projected {n_chips}-chip replicated-index 8.8M-doc qps={projected:,.0f}",
         file=sys.stderr,
     )
     print(json.dumps({
-        "metric": f"exact_top{K}_search_qps_{N // 1000000}M_docs_1chip",
-        "value": round(qps_chip, 1),
+        "metric": f"exact_top{K}_search_qps_{label}_1chip",
+        "value": round(Q_CHIP / t_meas, 1),
         "unit": "qps",
         "vs_baseline": round(projected / TARGET_QPS, 3),
     }))

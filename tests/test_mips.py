@@ -86,6 +86,22 @@ class TestShardedSearch:
         np.testing.assert_array_equal(np.asarray(i), ei)
 
 
+class TestGatherRowSlices:
+    def test_matches_numpy_slicing(self):
+        from openmatch_tpu.ops.mips import gather_row_slices
+
+        rng = np.random.RandomState(3)
+        arr = rng.randn(5, 96).astype(np.float32)
+        parents = rng.randint(0, 12, size=(5, 7))  # 96 / size(8) = 12
+        out = gather_row_slices(jnp.array(arr), jnp.array(parents * 8), 8)
+        assert out.shape == (5, 7, 8)
+        for q in range(5):
+            for j in range(7):
+                s = parents[q, j] * 8
+                np.testing.assert_array_equal(
+                    np.asarray(out)[q, j], arr[q, s: s + 8])
+
+
 class TestQueryShardedSearch:
     def test_matches_numpy(self, data, mesh8):
         from openmatch_tpu.ops.mips import query_sharded_search
