@@ -434,10 +434,12 @@ def _auto_qb(Q: int, N: int, D: int, k: int) -> int:
     return -(-Q // n_chunks)  # equalize chunk sizes
 
 
-@functools.partial(jax.jit, static_argnames=("n_docs", "k", "tile_g", "tile_q", "qb"))
+@functools.partial(jax.jit, static_argnames=(
+    "n_docs", "k", "tile_g", "tile_q", "qb", "rescore"))
 def _block_topk_core(
     queries: jnp.ndarray, cb: jnp.ndarray, tail_rows: jnp.ndarray,
     n_docs: int, k: int, tile_g: int, tile_q: int, qb: int,
+    rescore: str = "xla",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Score-free block path over a prepared BlockCorpus (see
     pallas_block_topk for the algorithm)."""
@@ -462,6 +464,25 @@ def _block_topk_core(
         tail_scores = jnp.dot(queries, tail_rows.T,
                               preferred_element_type=jnp.float32)  # [Q, tail]
         tail_ids = NB * GROUP + jnp.arange(tail, dtype=jnp.int32)
+
+    if rescore == "dma":
+        # in-kernel async-copy gather: all kt row DMAs of a grid step in
+        # flight at once (XLA's row gather runs ~137 GB/s on random 12 KB
+        # rows); member-major [Q, 8, k] output, ids built in the same
+        # layout, no query chunking needed (scratch is per-step)
+        kt = next(c for c in (250, 200, 125, 100, 64, 50, 40, 32, 25, 20,
+                              16, 10, 8, 5, 4, 2, 1) if k % c == 0)
+        cand = pallas_gather_rescore(queries, cb, bid, kt).reshape(
+            Q, GROUP * k)
+        ids = (bid[:, None, :] * GROUP
+               + jnp.arange(GROUP, dtype=jnp.int32)[None, :, None]).reshape(
+            Q, GROUP * k)
+        if tail:
+            cand = jnp.concatenate([cand, tail_scores], axis=1)
+            ids = jnp.concatenate(
+                [ids, jnp.broadcast_to(tail_ids, (Q, tail))], axis=1)
+        s, pos = jax.lax.top_k(cand, k)
+        return s, jnp.take_along_axis(ids, pos, axis=1)
 
     q_pad = (-Q) % qb
     bid_c = jnp.pad(bid, ((0, q_pad), (0, 0))).reshape(-1, qb, k)
@@ -498,12 +519,87 @@ def _block_topk_core(
     return s, idx
 
 
+def _gather_rescore_kernel(bids_ref, q_ref, cb_ref, out_ref, scratch, sems):
+    """One grid step = one query x kt selected block rows.
+
+    bids: [Q, k] int32 in SMEM (scalar-prefetched block ids);
+    q: [1, D] bf16 VMEM; cb: [NBp, 8D] bf16 left in ANY (HBM) — rows are
+    fetched with explicit per-row async copies, all kt in flight at once
+    (multiple DMA queues drain them concurrently, where XLA's row gather
+    ran at ~137 GB/s); scratch: [kt, 8D] bf16 VMEM; out: [1, 8, kt] f32
+    MEMBER-major (in-kernel lane-splitting reshapes don't lower, so member
+    m's kt scores land as a contiguous [kt] slab; the caller builds ids in
+    the same layout)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    kt = scratch.shape[0]
+    D = q_ref.shape[1]
+    copies = []
+    for jj in range(kt):
+        row = bids_ref[i, j * kt + jj]
+        copies.append(pltpu.make_async_copy(
+            cb_ref.at[pl.ds(row, 1), :], scratch.at[pl.ds(jj, 1), :],
+            sems.at[jj],
+        ))
+        copies[-1].start()
+    for c in copies:
+        c.wait()
+    for m in range(GROUP):
+        sm = jax.lax.dot_general(
+            scratch[:, m * D:(m + 1) * D], q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [kt, 1]
+        out_ref[0, m, :] = sm[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("kt",))
+def pallas_gather_rescore(
+    queries: jnp.ndarray, cb: jnp.ndarray, bids: jnp.ndarray, kt: int = 250,
+) -> jnp.ndarray:
+    """Exact candidate scores for selected blocks via an in-kernel DMA
+    gather: out[q, m, j] = <queries[q], member m of block bids[q, j]> f32.
+
+    Output is MEMBER-major [Q, 8, k]; global doc ids in matching layout
+    are bids[q, j] * 8 + m at position (m, j) — build with broadcasting
+    and reshape(Q, 8 * k) outside. k must be divisible by kt."""
+    Q, D = queries.shape
+    k = bids.shape[1]
+    assert bids.shape[0] == Q and k % kt == 0, (bids.shape, Q, kt)
+    grid = (Q, k // kt)
+    return pl.pallas_call(
+        _gather_rescore_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, D), lambda i, j, bids: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, GROUP, kt), lambda i, j, bids: (i, 0, j),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((kt, GROUP * D), cb.dtype),
+                pltpu.SemaphoreType.DMA((kt,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Q, GROUP, k), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(bids, queries, cb)
+
+
 def pallas_block_topk_prepared(
     queries: jnp.ndarray, prep: BlockCorpus, k: int = 1000,
     tile_g: int = 256, tile_q: int = 512, qb: int = 0,
+    rescore: str = "xla",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """pallas_block_topk over a prepared BlockCorpus (serving path: the
-    block layout is built once, not per query batch)."""
+    block layout is built once, not per query batch). ``rescore="dma"``
+    uses the in-kernel async-copy candidate gather
+    (pallas_gather_rescore)."""
     k = min(k, prep.n_docs)
     if (prep.n_docs // GROUP) // 2 <= k:
         from .mips import exact_search
@@ -514,7 +610,7 @@ def pallas_block_topk_prepared(
             prep.cb[: prep.n_docs // GROUP].reshape(-1, queries.shape[1])
         return exact_search(queries, corpus[: prep.n_docs], k=k)
     return _block_topk_core(queries, prep.cb, prep.tail, prep.n_docs, k,
-                            tile_g, tile_q, qb)
+                            tile_g, tile_q, qb, rescore)
 
 
 def _score_only_kernel(q_ref, c_ref, s_ref):

@@ -213,6 +213,26 @@ class TestBlockTopk:
         s, i = pallas_block_score_topk_prepared(q, prep, k=9, tile_g=128, tile_q=8)
         assert set(np.asarray(i)[0].tolist()) == set(cols) | {N - 2}
 
+    @pytest.mark.parametrize("N,k", [(70000, 50), (66003, 64)])
+    def test_dma_rescore_matches_xla(self, interpret_pallas, N, k):
+        """In-kernel async-copy candidate gather vs the XLA row-gather."""
+        from openmatch_tpu.ops.pallas_mips import (
+            pallas_block_topk_prepared, prepare_block_corpus)
+
+        rng = np.random.RandomState(4)
+        q = jnp.array(rng.randn(8, 32).astype(np.float32))
+        c = jnp.array(rng.randn(N, 32).astype(np.float32))
+        prep = prepare_block_corpus(c, tile_g=128)
+        s1, i1 = pallas_block_topk_prepared(q, prep, k=k, tile_g=128,
+                                            tile_q=8, qb=4, rescore="xla")
+        s2, i2 = pallas_block_topk_prepared(q, prep, k=k, tile_g=128,
+                                            tile_q=8, qb=4, rescore="dma")
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(i2), brute(np.asarray(q), np.asarray(c), k))
+
     def test_plan_pyramid(self):
         from openmatch_tpu.ops.mips import _plan_pyramid
 
