@@ -96,24 +96,38 @@ def build_block_corpus(jax, jnp, n_docs, seed=0):
     return BlockCorpus(cb=cb, tail=tail_rows, n_docs=n_docs)
 
 
-def time_slice(jax, jnp, n_docs, reps=5):
-    """Measured seconds per Q_CHIP-query batch over n_docs on this chip."""
-    from openmatch_tpu.ops.pallas_mips import pallas_block_topk_prepared
+def time_slice(jax, jnp, n_docs, iters=8):
+    """Measured seconds per Q_CHIP-query batch over n_docs on this chip.
+
+    The batch runs ``iters`` times inside ONE dispatched on-device
+    fori_loop with a value-dependence chain between iterations (the
+    tunnel costs ~27 ms per dispatch, which would otherwise swamp the
+    measurement; XLA cannot hoist the loop body because each iteration's
+    queries depend on the previous scores)."""
+    from openmatch_tpu.ops.pallas_mips import (BlockCorpus,
+                                               pallas_block_topk_prepared)
 
     prep = build_block_corpus(jax, jnp, n_docs)
     queries = jax.random.normal(jax.random.PRNGKey(1), (Q_CHIP, D), jnp.bfloat16)
 
-    def run():
-        return pallas_block_topk_prepared(queries, prep, k=K)[0]
+    @jax.jit
+    def loop(qs, cb, tail_rows):
+        # arrays enter as ARGUMENTS (closed-over arrays this big would be
+        # serialized into the program upload by the remote-compile tunnel);
+        # n_docs stays a static python int via the closure
+        p = BlockCorpus(cb=cb, tail=tail_rows, n_docs=n_docs)
 
-    # warm (compile); block via host readback — device sync is unreliable
-    # through the remote-tunnel platform
-    np.asarray(run().ravel()[0:1])
+        def body(i, carry):
+            s, _ = pallas_block_topk_prepared(qs + carry, p, k=K)
+            return carry + s[0, 0].astype(jnp.bfloat16) * jnp.bfloat16(1e-30)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.bfloat16(0.0))
+
+    np.asarray(loop(queries, prep.cb, prep.tail))  # warm + full execution
     t0 = time.time()
-    for _ in range(reps):
-        out = run()
-    np.asarray(out.ravel()[0:1])  # device executes in-order; waits for all
-    return (time.time() - t0) / reps
+    r = loop(queries, prep.cb, prep.tail)
+    np.asarray(r)  # host readback: device sync is unreliable via the tunnel
+    return (time.time() - t0) / iters
 
 
 def main():

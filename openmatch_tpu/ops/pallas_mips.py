@@ -439,7 +439,7 @@ def _auto_qb(Q: int, N: int, D: int, k: int) -> int:
 def _block_topk_core(
     queries: jnp.ndarray, cb: jnp.ndarray, tail_rows: jnp.ndarray,
     n_docs: int, k: int, tile_g: int, tile_q: int, qb: int,
-    rescore: str = "xla",
+    rescore: str = "xla", plain: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Score-free block path over a prepared BlockCorpus (see
     pallas_block_topk for the algorithm)."""
@@ -466,17 +466,18 @@ def _block_topk_core(
         tail_ids = NB * GROUP + jnp.arange(tail, dtype=jnp.int32)
 
     if rescore == "dma":
-        # in-kernel async-copy gather: all kt row DMAs of a grid step in
-        # flight at once (XLA's row gather runs ~137 GB/s on random 12 KB
-        # rows); member-major [Q, 8, k] output, ids built in the same
-        # layout, no query chunking needed (scratch is per-step)
-        kt = next(c for c in (250, 200, 125, 100, 64, 50, 40, 32, 25, 20,
-                              16, 10, 8, 5, 4, 2, 1) if k % c == 0)
-        cand = pallas_gather_rescore(queries, cb, bid, kt).reshape(
-            Q, GROUP * k)
-        ids = (bid[:, None, :] * GROUP
-               + jnp.arange(GROUP, dtype=jnp.int32)[None, :, None]).reshape(
-            Q, GROUP * k)
+        # in-kernel async-copy gather from the plain doc-major corpus:
+        # all kt block DMAs of a grid step in flight at once (XLA's row
+        # gather runs ~137 GB/s on random 12 KB rows); doc-major
+        # [Q, k_pad*8] output with pad columns -inf-masked, no query
+        # chunking needed (scratch is per-step)
+        if plain is None:
+            raise ValueError("rescore='dma' needs the plain doc-major "
+                             "corpus (prepare with with_plain=True)")
+        cand, bid_pad = pallas_gather_rescore(queries, plain, bid)
+        k_pad = bid_pad.shape[1]
+        ids = (bid_pad[:, :, None] * GROUP
+               + jnp.arange(GROUP, dtype=jnp.int32)).reshape(Q, k_pad * GROUP)
         if tail:
             cand = jnp.concatenate([cand, tail_scores], axis=1)
             ids = jnp.concatenate(
@@ -519,76 +520,105 @@ def _block_topk_core(
     return s, idx
 
 
-def _gather_rescore_kernel(bids_ref, q_ref, cb_ref, out_ref, scratch, sems):
-    """One grid step = one query x kt selected block rows.
+_QT = 8  # queries per gather-rescore grid step (min tile-aligned rows)
 
-    bids: [Q, k] int32 in SMEM (scalar-prefetched block ids);
-    q: [1, D] bf16 VMEM; cb: [NBp, 8D] bf16 left in ANY (HBM) — rows are
-    fetched with explicit per-row async copies, all kt in flight at once
-    (multiple DMA queues drain them concurrently, where XLA's row gather
-    ran at ~137 GB/s); scratch: [kt, 8D] bf16 VMEM; out: [1, 8, kt] f32
-    MEMBER-major (in-kernel lane-splitting reshapes don't lower, so member
-    m's kt scores land as a contiguous [kt] slab; the caller builds ids in
-    the same layout)."""
+
+def _gather_rescore_kernel(bids_ref, q_ref, p3_ref, out_ref, scratch, sems):
+    """One grid step = 8 queries x kt selected 8-doc blocks each.
+
+    bids: [Q, k_pad] int32 in SMEM (scalar-prefetched block ids);
+    q: [8, D] VMEM (8 = the smallest tile-aligned row block; per-query
+    rows are STATIC slices); p3: the plain corpus VIEWED as [N/8, 8, D],
+    left in ANY (HBM) — block b's docs are the [8, D] slice p3[b], a
+    whole (8,128)-tile-aligned unit, fetched with explicit async copies,
+    all 8*kt in flight at once (multiple DMA queues drain them
+    concurrently, where XLA's row gather ran at ~137 GB/s);
+    scratch: [8*kt*8, D] VMEM — query qq's slot jj lands at rows
+    (qq*kt + jj)*8, statically aligned; out: [8, kt*8] f32 DOC-major, one
+    [1, D] x [kt*8, D]^T dot per query, rows concatenated for a single
+    full-block store."""
     i = pl.program_id(0)
     j = pl.program_id(1)
-    kt = scratch.shape[0]
-    D = q_ref.shape[1]
+    kt = scratch.shape[0] // (GROUP * _QT)
+    # one DMA semaphore per query row, shared by its kt equal-sized
+    # copies (a per-copy semaphore array overflows the 2 KB sflag space)
     copies = []
-    for jj in range(kt):
-        row = bids_ref[i, j * kt + jj]
-        copies.append(pltpu.make_async_copy(
-            cb_ref.at[pl.ds(row, 1), :], scratch.at[pl.ds(jj, 1), :],
-            sems.at[jj],
-        ))
-        copies[-1].start()
+    for qq in range(_QT):
+        for jj in range(kt):
+            row = bids_ref[i * _QT + qq, j * kt + jj]
+            copies.append(pltpu.make_async_copy(
+                p3_ref.at[row],
+                scratch.at[pl.ds((qq * kt + jj) * GROUP, GROUP), :],
+                sems.at[qq],
+            ))
+            copies[-1].start()
     for c in copies:
         c.wait()
-    for m in range(GROUP):
-        sm = jax.lax.dot_general(
-            scratch[:, m * D:(m + 1) * D], q_ref[:],
+    rows = [
+        jax.lax.dot_general(
+            q_ref[qq:qq + 1, :],
+            scratch[qq * kt * GROUP:(qq + 1) * kt * GROUP, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [kt, 1]
-        out_ref[0, m, :] = sm[:, 0]
+        )  # [1, kt*8]
+        for qq in range(_QT)
+    ]
+    out_ref[:] = jnp.concatenate(rows, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("kt",))
 def pallas_gather_rescore(
-    queries: jnp.ndarray, cb: jnp.ndarray, bids: jnp.ndarray, kt: int = 250,
-) -> jnp.ndarray:
+    queries: jnp.ndarray, plain: jnp.ndarray, bids: jnp.ndarray, kt: int = 64,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact candidate scores for selected blocks via an in-kernel DMA
-    gather: out[q, m, j] = <queries[q], member m of block bids[q, j]> f32.
+    gather from the PLAIN doc-major corpus:
+    out[q, j*8 + m] = <queries[q], doc bids_pad[q, j] * 8 + m>.
 
-    Output is MEMBER-major [Q, 8, k]; global doc ids in matching layout
-    are bids[q, j] * 8 + m at position (m, j) — build with broadcasting
-    and reshape(Q, 8 * k) outside. k must be divisible by kt."""
+    k is padded up to a kt multiple (kt*8 must be a multiple of 128 for
+    tile-aligned output blocks) and Q to a multiple of 8; returns
+    (scores [Q, k_pad*8] f32 with pad columns set to -inf,
+    bids_pad [Q_pad, k_pad]). Global doc ids in the matching doc-major
+    layout are bids_pad[q, j] * 8 + m."""
     Q, D = queries.shape
+    N = plain.shape[0]
     k = bids.shape[1]
-    assert bids.shape[0] == Q and k % kt == 0, (bids.shape, Q, kt)
-    grid = (Q, k // kt)
-    return pl.pallas_call(
+    assert bids.shape[0] == Q and (kt * GROUP) % 128 == 0, (bids.shape, Q, kt)
+    assert N % GROUP == 0, N
+    k_pad = -(-k // kt) * kt
+    q_pad = (-Q) % _QT
+    bids_pad = jnp.pad(bids, ((0, q_pad), (0, k_pad - k)))  # blk 0; masked below
+    if q_pad:
+        queries = jnp.pad(queries, ((0, q_pad), (0, 0)))
+    Qp = Q + q_pad
+    p3 = plain.reshape(N // GROUP, GROUP, D)  # leading split: layout-free
+    grid = (Qp // _QT, k_pad // kt)
+    out = pl.pallas_call(
         _gather_rescore_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, D), lambda i, j, bids: (i, 0),
+                pl.BlockSpec((_QT, D), lambda i, j, bids: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
-            out_specs=pl.BlockSpec((1, GROUP, kt), lambda i, j, bids: (i, 0, j),
+            out_specs=pl.BlockSpec((_QT, kt * GROUP), lambda i, j, bids: (i, j),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((kt, GROUP * D), cb.dtype),
-                pltpu.SemaphoreType.DMA((kt,)),
+                pltpu.VMEM((_QT * kt * GROUP, D), plain.dtype),
+                pltpu.SemaphoreType.DMA((_QT,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((Q, GROUP, k), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Qp, k_pad * GROUP), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(bids, queries, cb)
+    )(bids_pad, queries, p3)
+    out = out[:Q]
+    if k_pad != k:
+        col = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
+        out = jnp.where(col < k * GROUP, out, jnp.finfo(jnp.float32).min)
+    return out, bids_pad[:Q]
 
 
 def pallas_block_topk_prepared(
@@ -599,7 +629,7 @@ def pallas_block_topk_prepared(
     """pallas_block_topk over a prepared BlockCorpus (serving path: the
     block layout is built once, not per query batch). ``rescore="dma"``
     uses the in-kernel async-copy candidate gather
-    (pallas_gather_rescore)."""
+    (pallas_gather_rescore); it needs prep.plain (with_plain=True)."""
     k = min(k, prep.n_docs)
     if (prep.n_docs // GROUP) // 2 <= k:
         from .mips import exact_search
@@ -610,7 +640,7 @@ def pallas_block_topk_prepared(
             prep.cb[: prep.n_docs // GROUP].reshape(-1, queries.shape[1])
         return exact_search(queries, corpus[: prep.n_docs], k=k)
     return _block_topk_core(queries, prep.cb, prep.tail, prep.n_docs, k,
-                            tile_g, tile_q, qb, rescore)
+                            tile_g, tile_q, qb, rescore, plain=prep.plain)
 
 
 def _score_only_kernel(q_ref, c_ref, s_ref):
