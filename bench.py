@@ -55,8 +55,9 @@ LADDER = (1_105_227, 2_210_456, 4_420_911, N_FULL)
 
 
 def build_block_corpus(jax, jnp, n_docs, seed=0):
-    """BlockCorpus built directly in block-row layout via donated chunked
-    writes (never 2x resident; ~210 MB RNG transient per step).
+    """Plain-layout BlockCorpus built directly via donated chunked writes
+    (never 2x resident; ~210 MB RNG transient per step). The single
+    doc-major copy serves both the gmax kernel and the DMA rescore.
 
     Raises RuntimeError when the buffer cannot be allocated after waiting
     out the tunnel's lazy reclaim (leaked server-side buffers return on a
@@ -66,34 +67,35 @@ def build_block_corpus(jax, jnp, n_docs, seed=0):
     NB = n_docs // GROUP
     tail = n_docs - NB * GROUP
     NBp = -(-NB // TILE_G) * TILE_G
-    chunk = 17_269
+    chunk = 17_269 * GROUP  # doc rows per fill step
 
     @partial(jax.jit, donate_argnums=(0,), static_argnames=("rows",))
     def fill(buf, key, start, rows):
-        block = jax.random.normal(key, (rows, GROUP * D), jnp.bfloat16)
+        block = jax.random.normal(key, (rows, D), jnp.bfloat16)
         return jax.lax.dynamic_update_slice(buf, block, (start, 0))
 
-    cb = None
+    plain = None
     for wait_s in (0, 20, 40, 60, 90, 120):
         time.sleep(wait_s)
         try:
-            cb = jnp.zeros((NBp, GROUP * D), jnp.bfloat16)
-            np.asarray(cb.ravel()[0:1])
+            plain = jnp.zeros((NBp * GROUP, D), jnp.bfloat16)
+            np.asarray(plain.ravel()[0:1])
             break
         except Exception:
-            cb = None
-    if cb is None:
+            plain = None
+    if plain is None:
         raise RuntimeError(f"corpus buffer ({NBp * GROUP * D * 2 / 2**30:.1f}"
                            " GiB) would not allocate after retries")
-    n_chunks = -(-NB // chunk)
+    n_docs_body = NB * GROUP
+    n_chunks = -(-n_docs_body // chunk)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_chunks)
     for i in range(n_chunks):
-        rows = min(chunk, NB - i * chunk)
-        cb = fill(cb, keys[i], i * chunk, rows=rows)
+        rows = min(chunk, n_docs_body - i * chunk)
+        plain = fill(plain, keys[i], i * chunk, rows=rows)
     tail_rows = jax.random.normal(jax.random.PRNGKey(seed + 7), (tail, D),
                                   jnp.bfloat16)
-    np.asarray(cb.ravel()[0:1])
-    return BlockCorpus(cb=cb, tail=tail_rows, n_docs=n_docs)
+    np.asarray(plain.ravel()[0:1])
+    return BlockCorpus(cb=None, tail=tail_rows, n_docs=n_docs, plain=plain)
 
 
 def time_slice(jax, jnp, n_docs, iters=8):
@@ -105,27 +107,27 @@ def time_slice(jax, jnp, n_docs, iters=8):
     measurement; XLA cannot hoist the loop body because each iteration's
     queries depend on the previous scores)."""
     from openmatch_tpu.ops.pallas_mips import (BlockCorpus,
-                                               pallas_block_topk_prepared)
+                                               pallas_plain_topk_prepared)
 
     prep = build_block_corpus(jax, jnp, n_docs)
     queries = jax.random.normal(jax.random.PRNGKey(1), (Q_CHIP, D), jnp.bfloat16)
 
     @jax.jit
-    def loop(qs, cb, tail_rows):
+    def loop(qs, plain, tail_rows):
         # arrays enter as ARGUMENTS (closed-over arrays this big would be
         # serialized into the program upload by the remote-compile tunnel);
         # n_docs stays a static python int via the closure
-        p = BlockCorpus(cb=cb, tail=tail_rows, n_docs=n_docs)
+        p = BlockCorpus(cb=None, tail=tail_rows, n_docs=n_docs, plain=plain)
 
         def body(i, carry):
-            s, _ = pallas_block_topk_prepared(qs + carry, p, k=K)
+            s, _ = pallas_plain_topk_prepared(qs + carry, p, k=K)
             return carry + s[0, 0].astype(jnp.bfloat16) * jnp.bfloat16(1e-30)
 
         return jax.lax.fori_loop(0, iters, body, jnp.bfloat16(0.0))
 
-    np.asarray(loop(queries, prep.cb, prep.tail))  # warm + full execution
+    np.asarray(loop(queries, prep.plain, prep.tail))  # warm + full execution
     t0 = time.time()
-    r = loop(queries, prep.cb, prep.tail)
+    r = loop(queries, prep.plain, prep.tail)
     np.asarray(r)  # host readback: device sync is unreliable via the tunnel
     return (time.time() - t0) / iters
 

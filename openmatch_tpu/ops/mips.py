@@ -559,36 +559,27 @@ class Searcher:
         elif mesh is not None:
             self.corpus, self.n_docs = shard_corpus(corpus, mesh, axis)
         elif method == "pallas":
-            # hold the block-row layout (reshape+pad done ONCE, not per
-            # search — each costs a full corpus copy, ~21 ms at 2.21M docs)
-            from .pallas_mips import prepare_block_corpus
+            # hold the prepared plain layout (pad done ONCE, not per
+            # search); ONE corpus copy serves both the gmax kernel and
+            # the DMA gather-rescore
+            from .pallas_mips import prepare_plain_corpus
 
             self.corpus = jnp.asarray(corpus)
             self.n_docs = corpus.shape[0]
-            self._prep = prepare_block_corpus(self.corpus)
-            self.corpus = None  # the block layout IS the index; free the rest
+            self._prep = prepare_plain_corpus(self.corpus)
+            self.corpus = None  # the prepared layout IS the index
         else:
             self.corpus = jnp.asarray(corpus)
             self.n_docs = corpus.shape[0]
 
     def _kernel_search(self, queries):
-        """Pick the score-materializing core when the [Q, N] f32 score
-        array fits HBM next to the block corpus (profiled: its [Q, 8k]
-        score gather replaces a 12 KB/row block gather that runs at
-        ~137 GB/s); fall back to the score-free core at larger N*Q."""
-        from .pallas_mips import (GROUP, pallas_block_score_topk_prepared,
-                                  pallas_block_topk_prepared)
+        """Plain-layout kernel path: strided-member gmax + planned
+        max-pyramid selection + in-kernel DMA gather-rescore (measured
+        1.8x the XLA-rescore block path at 2.21M docs, Q=128, and the
+        lowest-HBM layout — one corpus copy)."""
+        from .pallas_mips import pallas_plain_topk_prepared
 
-        Q = queries.shape[0]
-        NBp = self._prep.cb.shape[0]
-        # residents: block layout (+ plain doc-major copy) + gmax
-        resident = self._prep.cb.size * 2 + Q * NBp * 4
-        if self._prep.plain is not None:
-            resident += self._prep.plain.size * 2
-        score_bytes = Q * GROUP * NBp * 4
-        if self._prep.plain is not None and resident + score_bytes < 12 * 2**30:
-            return pallas_block_score_topk_prepared(queries, self._prep, self.k)
-        return pallas_block_topk_prepared(queries, self._prep, self.k)
+        return pallas_plain_topk_prepared(queries, self._prep, self.k)
 
     def search(self, queries) -> Tuple[jnp.ndarray, jnp.ndarray]:
         queries = jnp.asarray(queries)

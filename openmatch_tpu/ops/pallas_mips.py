@@ -313,15 +313,19 @@ def pallas_hier2_rescore(
 
 
 class BlockCorpus(NamedTuple):
-    """One-time block-row layout of a corpus (see prepare_block_corpus)."""
+    """One-time prepared layout(s) of a corpus (see prepare_block_corpus /
+    prepare_plain_corpus)."""
 
-    cb: jnp.ndarray    # [NBp, GROUP*D] bf16 block rows, padded to tile_g
+    # [NBp, GROUP*D] bf16 block rows, padded to tile_g — the operand of
+    # fused_block_gmax. None in the plain-only regime (fused_plain_gmax
+    # reads the plain layout directly; halves corpus HBM).
+    cb: Optional[jnp.ndarray]
     tail: jnp.ndarray  # [N % GROUP, D] ragged tail docs
-    n_docs: int        # true N (cb holds the first N - N%GROUP docs)
-    # [NBp*GROUP, D] plain doc-major padded corpus, or None. Same bytes as
-    # cb logically, but the (8,128)-tiled layouts differ so it is a real
-    # second copy — built only when the score-materializing path is viable
-    # (2x corpus HBM; the 8.8M single-chip regime skips it).
+    n_docs: int        # true N (cb/plain hold the first N - N%GROUP docs)
+    # [NBp*GROUP, D] plain doc-major padded corpus, or None. Serves the
+    # DMA gather-rescore and the score-materializing path; the
+    # (8,128)-tiled layouts of cb and plain differ, so holding both is a
+    # real 2x corpus copy.
     plain: Optional[jnp.ndarray] = None
 
 
@@ -349,6 +353,21 @@ def prepare_block_corpus(
         plain = jnp.pad(corpus[: NB * GROUP],
                         ((0, pad_b * GROUP), (0, 0))) if pad_b else corpus[: NB * GROUP]
     return BlockCorpus(cb=cb, tail=corpus[NB * GROUP:], n_docs=N, plain=plain)
+
+
+def prepare_plain_corpus(corpus: jnp.ndarray, tile_g: int = 256) -> BlockCorpus:
+    """Prepared PLAIN-ONLY layout: one padded doc-major copy serves both
+    the gmax kernel (fused_plain_gmax, D-chunked strided member loads)
+    and the DMA gather-rescore — half the HBM of the cb+plain pair, which
+    is what lets the whole 8.8M MS MARCO corpus fit one chip."""
+    N, D = corpus.shape
+    NB = N // GROUP
+    pad_b = (-NB) % tile_g
+    plain = corpus[: NB * GROUP]
+    if pad_b:
+        plain = jnp.pad(plain, ((0, pad_b * GROUP), (0, 0)))
+    return BlockCorpus(cb=None, tail=corpus[NB * GROUP:], n_docs=N,
+                       plain=plain)
 
 
 def _block_gmax_kernel(q_ref, cb_ref, g_ref):
@@ -408,6 +427,94 @@ def fused_block_gmax(
             transcendentals=0,
         ),
     )(queries, corpus_blocks)
+    return gmax[:Q] if q_pad else gmax
+
+
+def _plain_gmax_kernel(q_ref, c_ref, g_ref, acc):
+    """Per-block score maxima from the PLAIN doc-major corpus.
+
+    q: [tq, 128] bf16 (one 128-lane D-chunk of the queries);
+    c: [tile_g*8, 128] bf16 (the same D-chunk of tile_g blocks' docs);
+    g: [tq, tile_g] f32; acc: [8, tq, tile_g] f32 member accumulators.
+
+    Member m's rows sit at sublane stride 8 in the plain layout —
+    tpu.strided_load requires a 128-wide base memref, hence the D-chunked
+    grid (innermost) with partial sums accumulated in scratch and the max
+    over members taken on the last chunk. One corpus stream per query
+    block, same FLOPs as the block-row kernel, but no [NB, 8*D] corpus
+    copy — the single plain layout also serves the DMA gather-rescore."""
+    dc = pl.program_id(2)
+    n_dc = pl.num_programs(2)
+
+    for m in range(GROUP):
+        pm = jax.lax.dot_general(
+            q_ref[:], c_ref[m::GROUP, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [tq, tile_g]
+
+        @pl.when(dc == 0)
+        def _init(pm=pm, m=m):
+            acc[m] = pm
+
+        @pl.when(dc > 0)
+        def _acc(pm=pm, m=m):
+            acc[m] += pm
+
+    @pl.when(dc == n_dc - 1)
+    def _emit():
+        g = acc[0]
+        for m in range(1, GROUP):
+            g = jnp.maximum(g, acc[m])
+        g_ref[:] = g
+
+
+@functools.partial(jax.jit, static_argnames=("tile_g", "tile_q"))
+def fused_plain_gmax(
+    queries: jnp.ndarray, plain: jnp.ndarray,
+    tile_g: int = 256, tile_q: int = 512,
+) -> jnp.ndarray:
+    """Per-block score maxima [Q, N/8] f32 from the plain [N, D] bf16
+    corpus (N % (tile_g*8) == 0, D % 128 == 0)."""
+    Q, D = queries.shape
+    N = plain.shape[0]
+    NB = N // GROUP
+    assert N % (tile_g * GROUP) == 0, (N, tile_g)
+    assert D % 128 == 0, D
+    tile_q = min(tile_q, max(128, -(-Q // 128) * 128))
+    need = 2 * (tile_g * GROUP * 128 * 2 + tile_q * 128 * 2) + \
+        GROUP * tile_q * tile_g * 4 + tile_q * tile_g * 4
+    if need > _SCOPED_VMEM:
+        raise ValueError(f"tile_g={tile_g}, tile_q={tile_q} needs "
+                         f"{need / 2**20:.1f} MB VMEM")
+    q_pad = (-Q) % tile_q
+    if q_pad:
+        queries = jnp.pad(queries, ((0, q_pad), (0, 0)))
+    Qp = Q + q_pad
+    gmax = pl.pallas_call(
+        _plain_gmax_kernel,
+        grid=(Qp // tile_q, NB // tile_g, D // 128),
+        in_specs=[
+            pl.BlockSpec((tile_q, 128), lambda qb, t, dc: (qb, dc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_g * GROUP, 128), lambda qb, t, dc: (t, dc),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_q, tile_g), lambda qb, t, dc: (qb, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Qp, NB), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((GROUP, tile_q, tile_g), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Qp * NB * GROUP * D,
+            bytes_accessed=Qp * D * 2 + N * D * 2 + Qp * NB * 4,
+            transcendentals=0,
+        ),
+    )(queries, plain)
     return gmax[:Q] if q_pad else gmax
 
 
@@ -641,6 +748,63 @@ def pallas_block_topk_prepared(
         return exact_search(queries, corpus[: prep.n_docs], k=k)
     return _block_topk_core(queries, prep.cb, prep.tail, prep.n_docs, k,
                             tile_g, tile_q, qb, rescore, plain=prep.plain)
+
+
+@functools.partial(jax.jit, static_argnames=("n_docs", "k", "tile_g", "tile_q"))
+def _plain_topk_core(
+    queries: jnp.ndarray, plain: jnp.ndarray, tail_rows: jnp.ndarray,
+    n_docs: int, k: int, tile_g: int, tile_q: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-layout exact top-k: plain-corpus gmax kernel + planned
+    max-pyramid selection + DMA gather-rescore. The fastest measured path
+    and the lowest-HBM one (one corpus copy)."""
+    Q, D = queries.shape
+    NB = n_docs // GROUP
+    NBp = plain.shape[0] // GROUP
+    tail = n_docs - NB * GROUP
+
+    gmax = fused_plain_gmax(queries, plain, tile_g, tile_q)  # [Q, NBp]
+    if NBp != NB:
+        col = jax.lax.broadcasted_iota(jnp.int32, gmax.shape, 1)
+        gmax = jnp.where(col < NB, gmax, jnp.finfo(jnp.float32).min)
+
+    bid = _select_groups(gmax, k)  # [Q, k]
+
+    cand, bid_pad = pallas_gather_rescore(queries, plain, bid)
+    k_pad = bid_pad.shape[1]
+    ids = (bid_pad[:, :, None] * GROUP
+           + jnp.arange(GROUP, dtype=jnp.int32)).reshape(Q, k_pad * GROUP)
+    if tail:
+        tail_scores = jnp.dot(queries, tail_rows.T,
+                              preferred_element_type=jnp.float32)
+        tail_ids = NB * GROUP + jnp.arange(tail, dtype=jnp.int32)
+        cand = jnp.concatenate([cand, tail_scores], axis=1)
+        ids = jnp.concatenate(
+            [ids, jnp.broadcast_to(tail_ids, (Q, tail))], axis=1)
+    s, pos = jax.lax.top_k(cand, k)
+    return s, jnp.take_along_axis(ids, pos, axis=1)
+
+
+def pallas_plain_topk_prepared(
+    queries: jnp.ndarray, prep: BlockCorpus, k: int = 1000,
+    tile_g: int = 256, tile_q: int = 512,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k over a prepare_plain_corpus layout (plain-only: gmax
+    kernel reads the doc-major corpus via strided member loads, rescore
+    gathers whole blocks with in-kernel DMAs)."""
+    if prep.plain is None:
+        raise ValueError("prepare with prepare_plain_corpus "
+                         "(prep.plain missing)")
+    k = min(k, prep.n_docs)
+    NB = prep.n_docs // GROUP
+    if NB // 2 <= k:
+        from .mips import exact_search
+
+        corpus = jnp.concatenate([prep.plain[: NB * GROUP], prep.tail]) \
+            if prep.tail.shape[0] else prep.plain[: NB * GROUP]
+        return exact_search(queries, corpus, k=k)
+    return _plain_topk_core(queries, prep.plain, prep.tail, prep.n_docs, k,
+                            tile_g, tile_q)
 
 
 def _score_only_kernel(q_ref, c_ref, s_ref):

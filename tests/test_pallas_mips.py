@@ -233,6 +233,36 @@ class TestBlockTopk:
         np.testing.assert_array_equal(
             np.asarray(i2), brute(np.asarray(q), np.asarray(c), k))
 
+    @pytest.mark.parametrize("N,k", [(70000, 50), (66003, 64), (131077, 9)])
+    def test_plain_path_exact(self, interpret_pallas, N, k):
+        """Plain-only path (strided-gmax kernel + DMA rescore) vs brute."""
+        from openmatch_tpu.ops.pallas_mips import (
+            pallas_plain_topk_prepared, prepare_plain_corpus)
+
+        rng = np.random.RandomState(5)
+        q = jnp.array(rng.randn(8, 128).astype(np.float32))
+        c = jnp.array(rng.randn(N, 128).astype(np.float32))
+        prep = prepare_plain_corpus(c, tile_g=128)
+        s, i = pallas_plain_topk_prepared(q, prep, k=k, tile_g=128, tile_q=8)
+        np.testing.assert_array_equal(
+            np.asarray(i), brute(np.asarray(q), np.asarray(c), k))
+        assert (np.diff(np.asarray(s), axis=1) <= 1e-6).all()
+
+    def test_plain_path_clustered(self, interpret_pallas):
+        from openmatch_tpu.ops.pallas_mips import (
+            pallas_plain_topk_prepared, prepare_plain_corpus)
+
+        q = jnp.ones((1, 128), jnp.float32)
+        N = 131072 + 5
+        c = np.zeros((N, 128), np.float32)
+        cols = list(range(4096, 4104))
+        for col in cols:
+            c[col] = 3.0
+        c[N - 2] = 2.0
+        prep = prepare_plain_corpus(jnp.array(c), tile_g=128)
+        s, i = pallas_plain_topk_prepared(q, prep, k=9, tile_g=128, tile_q=8)
+        assert set(np.asarray(i)[0].tolist()) == set(cols) | {N - 2}
+
     def test_plan_pyramid(self):
         from openmatch_tpu.ops.mips import _plan_pyramid
 
