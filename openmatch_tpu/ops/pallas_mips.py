@@ -430,60 +430,52 @@ def fused_block_gmax(
     return gmax[:Q] if q_pad else gmax
 
 
-def _plain_gmax_kernel(q_ref, c_ref, g_ref, acc):
-    """Per-block score maxima from the PLAIN doc-major corpus.
+def _plain_gmax_kernel(q_ref, c_ref, g_ref, s_scratch):
+    """Per-block score maxima from the PLAIN doc-major corpus, computed
+    TRANSPOSED (docs on sublanes).
 
-    q: [tq, 128] bf16 (one 128-lane D-chunk of the queries);
-    c: [tile_g*8, 128] bf16 (the same D-chunk of tile_g blocks' docs);
-    g: [tq, tile_g] f32; acc: [8, tq, tile_g] f32 member accumulators.
+    q: [tq, D] bf16; c: [tile_g*8, D] bf16 (tile_g blocks' doc rows);
+    g: [tile_g, tq] f32 (block maxima, transposed — the wrapper
+    transposes back once); s_scratch: [tile_g*8, tq] f32.
 
-    Member m's rows sit at sublane stride 8 in the plain layout —
-    tpu.strided_load requires a 128-wide base memref, hence the D-chunked
-    grid (innermost) with partial sums accumulated in scratch and the max
-    over members taken on the last chunk. One corpus stream per query
-    block, same FLOPs as the block-row kernel, but no [NB, 8*D] corpus
-    copy — the single plain layout also serves the DMA gather-rescore."""
-    dc = pl.program_id(2)
-    n_dc = pl.num_programs(2)
-
-    for m in range(GROUP):
-        pm = jax.lax.dot_general(
-            q_ref[:], c_ref[m::GROUP, :],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [tq, tile_g]
-
-        @pl.when(dc == 0)
-        def _init(pm=pm, m=m):
-            acc[m] = pm
-
-        @pl.when(dc > 0)
-        def _acc(pm=pm, m=m):
-            acc[m] += pm
-
-    @pl.when(dc == n_dc - 1)
-    def _emit():
-        g = acc[0]
-        for m in range(1, GROUP):
-            g = jnp.maximum(g, acc[m])
-        g_ref[:] = g
+    Member m's rows sit at sublane stride 8. tpu.strided_load handles
+    only 32-bit data with a 128-lane base, so the bf16 corpus cannot be
+    member-sliced directly; instead ONE [tile8, D] x [tq, D]^T dot puts
+    the f32 scores doc-on-SUBLANE in scratch, and eight f32
+    sublane-strided loads (stride 8, base last dim = tq = 128) reduce to
+    the per-block max. Same FLOPs as the block-row kernel, but no
+    [NB, 8*D] corpus copy — the single plain layout also serves the DMA
+    gather-rescore."""
+    st = jax.lax.dot_general(
+        c_ref[:], q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [tile8, tq] f32, docs on sublanes
+    s_scratch[:] = st
+    g = s_scratch[0::GROUP, :]
+    for m in range(1, GROUP):
+        g = jnp.maximum(g, s_scratch[m::GROUP, :])
+    g_ref[:] = g
 
 
 @functools.partial(jax.jit, static_argnames=("tile_g", "tile_q"))
 def fused_plain_gmax(
     queries: jnp.ndarray, plain: jnp.ndarray,
-    tile_g: int = 256, tile_q: int = 512,
+    tile_g: int = 256, tile_q: int = 128,
 ) -> jnp.ndarray:
     """Per-block score maxima [Q, N/8] f32 from the plain [N, D] bf16
-    corpus (N % (tile_g*8) == 0, D % 128 == 0)."""
+    corpus (N % (tile_g*8) == 0). tile_q must be 128 on hardware (the
+    strided member loads need a 128-lane base)."""
     Q, D = queries.shape
     N = plain.shape[0]
     NB = N // GROUP
     assert N % (tile_g * GROUP) == 0, (N, tile_g)
-    assert D % 128 == 0, D
-    tile_q = min(tile_q, max(128, -(-Q // 128) * 128))
-    need = 2 * (tile_g * GROUP * 128 * 2 + tile_q * 128 * 2) + \
-        GROUP * tile_q * tile_g * 4 + tile_q * tile_g * 4
+    # the strided member loads need a base whose last dim is EXACTLY 128
+    # lanes, so the query tile is fixed there on hardware (tests pass
+    # smaller tiles in interpret mode only)
+    tile_q = min(tile_q, 128)
+    need = 2 * (tile_g * GROUP * D * 2 + tile_q * D * 2
+                + tile_g * tile_q * 4) + tile_g * GROUP * tile_q * 4
     if need > _SCOPED_VMEM:
         raise ValueError(f"tile_g={tile_g}, tile_q={tile_q} needs "
                          f"{need / 2**20:.1f} MB VMEM")
@@ -491,23 +483,23 @@ def fused_plain_gmax(
     if q_pad:
         queries = jnp.pad(queries, ((0, q_pad), (0, 0)))
     Qp = Q + q_pad
-    gmax = pl.pallas_call(
+    gmax_t = pl.pallas_call(
         _plain_gmax_kernel,
-        grid=(Qp // tile_q, NB // tile_g, D // 128),
+        grid=(Qp // tile_q, NB // tile_g),
         in_specs=[
-            pl.BlockSpec((tile_q, 128), lambda qb, t, dc: (qb, dc),
+            pl.BlockSpec((tile_q, D), lambda qb, t: (qb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_g * GROUP, 128), lambda qb, t, dc: (t, dc),
+            pl.BlockSpec((tile_g * GROUP, D), lambda qb, t: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_q, tile_g), lambda qb, t, dc: (qb, t),
+        out_specs=pl.BlockSpec((tile_g, tile_q), lambda qb, t: (t, qb),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Qp, NB), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NB, Qp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((GROUP, tile_q, tile_g), jnp.float32),
+            pltpu.VMEM((tile_g * GROUP, tile_q), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Qp * NB * GROUP * D,
@@ -515,6 +507,7 @@ def fused_plain_gmax(
             transcendentals=0,
         ),
     )(queries, plain)
+    gmax = gmax_t.T  # [Qp, NB]; one XLA relayout, ~1-3 ms at 8.8M/Q=128
     return gmax[:Q] if q_pad else gmax
 
 
