@@ -75,7 +75,9 @@ def build_block_corpus(jax, jnp, n_docs, seed=0):
         return jax.lax.dynamic_update_slice(buf, block, (start, 0))
 
     plain = None
-    for wait_s in (0, 20, 40, 60, 90, 120):
+    # sparse retries: a FAILED allocation leaks its reservation until the
+    # ~10-20 min server-side reclaim, so rapid retries are self-defeating
+    for wait_s in (0, 300):
         time.sleep(wait_s)
         try:
             plain = jnp.zeros((NBp * GROUP, D), jnp.bfloat16)
