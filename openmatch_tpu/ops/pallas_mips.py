@@ -1,21 +1,31 @@
-"""Pallas TPU kernel: fused similarity scoring + group-max summaries.
+"""Pallas TPU kernels for exact MIPS (faiss IndexFlatIP capability,
+reference retriever/dense_retriever.py:40, rebuilt TPU-first).
 
-One pass over the corpus computes, per [Q, TILE] score block on the MXU,
-both the fp32 score block (needed later for candidate refinement) and its
-group maxima — the full-matrix reduce pass XLA would otherwise run over
-~1 GB of scores disappears into the matmul's epilogue.
+PRODUCTION PATH — ``pallas_plain_topk_prepared`` over ONE prepared
+doc-major corpus copy (``prepare_plain_corpus``; 12.7 GiB holds all 8.8M
+MS MARCO passages on a chip):
 
-Mosaic note: 2D→3D reshapes don't lower, so groups are STRIDED within a
-tile — group j of tile t holds columns ``t*TILE + j + m*(TILE/8)`` for
-m = 0..7 — making the group max an elementwise max of 8 contiguous
-[Q, TILE/8] slabs (pure VPU, any layout). The selection algorithm only
-needs a fixed partition of columns into groups plus invertible index math,
-so strided groups are as exact as contiguous ones.
+  A. ``fused_plain_gmax`` streams the corpus once, emitting per-8-doc-
+     block score maxima. Computed TRANSPOSED (docs on sublanes) so the
+     member reduction is eight f32 sublane-strided loads —
+     tpu.strided_load handles only 32-bit data with a 128-lane base, so
+     neither the bf16 corpus nor lane-major scores can be member-sliced.
+  B. ``_select_groups`` (ops/mips.py): exact max-pyramid top-k of blocks,
+     planned from profiled TopK/slab-gather cost curves; the covering
+     argument of hier2 applies per level, so no lax.top_k input is wider
+     than fanout*k at any corpus size.
+  C. ``pallas_gather_rescore``: the selected blocks' [8, D] doc slices —
+     whole (8,128)-tile-aligned units — are fetched with explicit
+     in-kernel async copies (8 queries x kt blocks in flight per grid
+     step; block ids scalar-prefetched into SMEM) and re-scored on the
+     MXU. Replaces an XLA row-gather that ran at ~137 GB/s.
 
-Feeds the exact max-pyramid selection (_select_groups; same covering
-argument as ops/mips.py `hier2`, applied per level, so no lax.top_k input
-is wider than fanout*k at any corpus size). See
-/opt/skills/guides/pallas_guide.md.
+Also here, kept as benchmarked alternatives: the block-row layout
+(``fused_block_gmax`` over [NB, 8*D] rows + XLA row-gather rescore), the
+score-materializing variant (``fused_scores`` doc-major [Q, N] store +
+slab-gathered candidates), and the r1 strided-slab fused kernel
+(``fused_score_gmax``). docs/performance.md has the measured comparison;
+see /opt/skills/guides/pallas_guide.md for the hardware model.
 """
 
 from __future__ import annotations
