@@ -465,7 +465,10 @@ def _plain_gmax_kernel(q_ref, c_ref, g_ref, s_scratch):
     g = s_scratch[0::GROUP, :]
     for m in range(1, GROUP):
         g = jnp.maximum(g, s_scratch[m::GROUP, :])
-    g_ref[:] = g
+    # transpose in-kernel (f32 transposes lower fine) so the [Q, NB]
+    # output needs no XLA relayout pass — at 8.8M docs that pass costs
+    # ~2 ms and a 0.53 GiB transient next to an already-full HBM
+    g_ref[:] = jnp.swapaxes(g, 0, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_g", "tile_q"))
@@ -493,7 +496,7 @@ def fused_plain_gmax(
     if q_pad:
         queries = jnp.pad(queries, ((0, q_pad), (0, 0)))
     Qp = Q + q_pad
-    gmax_t = pl.pallas_call(
+    gmax = pl.pallas_call(
         _plain_gmax_kernel,
         grid=(Qp // tile_q, NB // tile_g),
         in_specs=[
@@ -502,9 +505,9 @@ def fused_plain_gmax(
             pl.BlockSpec((tile_g * GROUP, D), lambda qb, t: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_g, tile_q), lambda qb, t: (t, qb),
+        out_specs=pl.BlockSpec((tile_q, tile_g), lambda qb, t: (qb, t),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((NB, Qp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Qp, NB), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((tile_g * GROUP, tile_q), jnp.float32),
         ],
@@ -517,7 +520,6 @@ def fused_plain_gmax(
             transcendentals=0,
         ),
     )(queries, plain)
-    gmax = gmax_t.T  # [Qp, NB]; one XLA relayout, ~1-3 ms at 8.8M/Q=128
     return gmax[:Q] if q_pad else gmax
 
 
