@@ -1,1 +1,2 @@
-from .mips import exact_search, sharded_search  # noqa: F401
+from .mips import (Searcher, exact_search, query_sharded_search,  # noqa: F401
+                   sharded_search)
