@@ -140,6 +140,19 @@ class TestSelectGroups:
         assert set(ids.tolist()) == set(range(512, 512 + k))
 
 
+class TestPlainGmaxKernel:
+    def test_matches_xla_reference(self, interpret_pallas):
+        from openmatch_tpu.ops.pallas_mips import fused_plain_gmax
+
+        rng = np.random.RandomState(6)
+        N, D, Q = 2048 * 2, 128, 8  # two corpus tiles at tile_g=256
+        plain = jnp.array(rng.randn(N, D).astype(np.float32))
+        q = jnp.array(rng.randn(Q, D).astype(np.float32))
+        g = fused_plain_gmax(q, plain, tile_g=256, tile_q=8)
+        ref = (np.asarray(q) @ np.asarray(plain).T).reshape(Q, N // 8, 8).max(-1)
+        np.testing.assert_allclose(np.asarray(g), ref, rtol=1e-5, atol=1e-5)
+
+
 class TestBlockTopk:
     @pytest.mark.parametrize("N,k", [(70000, 50), (66003, 64), (131072, 9)])
     def test_exact(self, interpret_pallas, N, k):
