@@ -1,9 +1,15 @@
 """Probe usable HBM and jit buffer-donation behavior on this chip.
 
+SAFETY: ascend and stop at the first failure. On the axon tunnel an
+allocation beyond the physical ceiling can HANG (never raise), and a
+FAILED allocation leaks its reservation server-side until a ~10-20 min
+reclaim horizon — so never probe by failing repeatedly, and never start
+near the top. (Observed on this v5e: largest proven resident 11.9 GiB;
+the 16 GB part exposes ~13 GiB usable through this runtime.)
+
     python scripts/perf/hbm_probe.py
 """
 
-import time
 from functools import partial
 
 import numpy as np
@@ -14,21 +20,10 @@ def main():
     import jax.numpy as jnp
 
     GB = 2**30
-    for gb in (15.0, 14.5, 14.0, 13.6, 13.0, 12.0):
-        n = int(gb * GB // (6144 * 2))
-        try:
-            buf = jnp.zeros((n, 6144), jnp.bfloat16)
-            np.asarray(buf.ravel()[0:1])
-            print(f"alloc {gb:.1f} GB: OK", flush=True)
-            del buf
-            break
-        except Exception as e:
-            print(f"alloc {gb:.1f} GB: {type(e).__name__}", flush=True)
-            del buf  # noqa: F821 -- may be unbound; best-effort
-    time.sleep(1)
 
-    # donation probe: two resident 9 GB buffers would exceed any answer
-    # above, so the update below only succeeds if donation is honored
+    # donation probe first (well below any plausible ceiling): two
+    # resident 9 GiB buffers would exceed it, so the donated update below
+    # only succeeds if donation is honored
     n = int(9.0 * GB // (6144 * 2))
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -39,12 +34,25 @@ def main():
     try:
         buf = jnp.zeros((n, 6144), jnp.bfloat16)
         np.asarray(buf.ravel()[0:1])
+        print("alloc 9.0 GiB: OK", flush=True)
         buf = fill(buf, jax.random.PRNGKey(0))
         np.asarray(buf.ravel()[0:1])
-        print("donated 9 GB update: OK (donation honored)", flush=True)
+        print("donated 9 GiB update: OK (donation honored)", flush=True)
+        del buf
     except Exception as e:
-        print(f"donated 9 GB update: {type(e).__name__} "
-              "(donation likely IGNORED)", flush=True)
+        print(f"9 GiB phase failed: {type(e).__name__}", flush=True)
+
+    for gb in (10.0, 11.0, 12.0, 12.7, 13.2):
+        n = int(gb * GB // (6144 * 2))
+        try:
+            buf = jnp.zeros((n, 6144), jnp.bfloat16)
+            np.asarray(buf.ravel()[0:1])
+            print(f"alloc {gb:.1f} GiB: OK", flush=True)
+            del buf
+        except Exception as e:
+            print(f"alloc {gb:.1f} GiB: FAIL {type(e).__name__} — stopping "
+                  "(a failed allocation leaks until reclaim)", flush=True)
+            break
 
 
 if __name__ == "__main__":
