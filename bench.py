@@ -53,7 +53,7 @@ Q_GLOBAL, Q_CHIP, K = 512, 128, 1000
 # tunnel on the first run; the persistent cache makes reruns cheap). The
 # 6.63M rung (9.5 GiB) narrows the slope extrapolation to 1.33x when the
 # full 12.7 GiB corpus does not fit the chip's currently-usable HBM.
-LADDER = (1_105_227, 2_210_456, 4_420_911, 6_631_367, N_FULL)
+LADDER = (276_306, 1_105_227, 2_210_456, 4_420_911, 6_631_367, N_FULL)
 
 
 def build_block_corpus(jax, jnp, n_docs, seed=0):
