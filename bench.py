@@ -61,9 +61,9 @@ def build_block_corpus(jax, jnp, n_docs, seed=0):
     (never 2x resident; ~210 MB RNG transient per step). The single
     doc-major copy serves both the gmax kernel and the DMA rescore.
 
-    Raises RuntimeError when the buffer cannot be allocated after waiting
-    out the tunnel's lazy reclaim (leaked server-side buffers return on a
-    ~10-20 min horizon)."""
+    Raises RuntimeError immediately when the buffer cannot be allocated
+    (no retry: a failed allocation leaks its reservation server-side until
+    a ~10-20 min reclaim, so in-run retries only stack leaks)."""
     from openmatch_tpu.ops.pallas_mips import BlockCorpus
 
     NB = n_docs // GROUP
@@ -77,19 +77,17 @@ def build_block_corpus(jax, jnp, n_docs, seed=0):
         return jax.lax.dynamic_update_slice(buf, block, (start, 0))
 
     plain = None
-    # sparse retries: a FAILED allocation leaks its reservation until the
-    # ~10-20 min server-side reclaim, so rapid retries are self-defeating
-    for wait_s in (0, 300):
-        time.sleep(wait_s)
-        try:
-            plain = jnp.zeros((NBp * GROUP, D), jnp.bfloat16)
-            np.asarray(plain.ravel()[0:1])
-            break
-        except Exception:
-            plain = None
+    # fail fast: a FAILED allocation leaks its reservation until the
+    # ~10-20 min server-side reclaim, so retrying within a run only
+    # stacks a second leaked reservation — one attempt per run, period
+    try:
+        plain = jnp.zeros((NBp * GROUP, D), jnp.bfloat16)
+        np.asarray(plain.ravel()[0:1])
+    except Exception:
+        plain = None
     if plain is None:
         raise RuntimeError(f"corpus buffer ({NBp * GROUP * D * 2 / 2**30:.1f}"
-                           " GiB) would not allocate after retries")
+                           " GiB) would not allocate")
     n_docs_body = NB * GROUP
     n_chunks = -(-n_docs_body // chunk)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_chunks)

@@ -47,12 +47,24 @@ class Reranker:
         tokenizer,
         data_args: DataArguments,
         inference_args: InferenceArguments,
+        mesh=None,
+        axis: str = "data",
     ):
+        """``mesh``: optional device mesh for data-parallel scoring — the
+        pair batch is sharded over ``axis`` (batch rows split across
+        chips, params replicated), the reference's multi-GPU rerank shape
+        (reranker.py:93-100 IterableDatasetShard) as one SPMD program
+        instead of per-rank processes + trec-file merges. The global
+        batch is per_device_eval_batch_size x axis size."""
         self.model = model
         self.params = params
         self.tokenizer = tokenizer
         self.data_args = data_args
         self.args = inference_args
+        self.mesh = mesh
+        self.axis = axis
+        self.batch_size = inference_args.per_device_eval_batch_size * (
+            mesh.shape[axis] if mesh is not None else 1)
         self.max_len = data_args.q_max_len + data_args.p_max_len + 2
 
         @jax.jit
@@ -61,6 +73,14 @@ class Reranker:
             return model.relevance_logprob(s)
 
         self._score = _score
+
+    def _shard_batch(self, arr: jnp.ndarray) -> jnp.ndarray:
+        if self.mesh is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            arr, NamedSharding(self.mesh, P(self.axis, None)))
 
     def _pair_stream(
         self,
@@ -119,14 +139,16 @@ class Reranker:
         result: RankResult = {}
         stream = batched(
             self._pair_stream(queries, corpus, run),
-            self.args.per_device_eval_batch_size,
+            self.batch_size,
             collate,
             pad_to_full=True,
         )
         for (keys, batch), n_valid in prefetch(stream, depth=4):
             scores = self._score(
-                self.params, jnp.asarray(batch["input_ids"]),
-                jnp.asarray(batch["attention_mask"]), jnp.asarray(batch["token_type_ids"]),
+                self.params,
+                self._shard_batch(jnp.asarray(batch["input_ids"])),
+                self._shard_batch(jnp.asarray(batch["attention_mask"])),
+                self._shard_batch(jnp.asarray(batch["token_type_ids"])),
             )
             scores = np.asarray(scores, np.float32)[:n_valid]
             for (qid, did), s in zip(keys[:n_valid], scores):
