@@ -48,6 +48,13 @@ class BertConfig:
     # ELECTRA may embed at a smaller dim and project up.
     embedding_size: Optional[int] = None
     add_pooler: bool = False
+    # Training-regularization parity with the reference's stock AutoModel
+    # (dense_retrieval_model.py:173 loads checkpoints whose configs carry
+    # ~0.1): applied ONLY when the encoder is called with
+    # deterministic=False; inference and the 0.0 default bit-reproduce
+    # the dropout-free graph.
+    hidden_dropout_prob: float = 0.0
+    attention_probs_dropout_prob: float = 0.0
 
     @classmethod
     def from_hf_config(cls, hf) -> "BertConfig":
@@ -58,6 +65,9 @@ class BertConfig:
         if embedding_size == hf.hidden_size:
             embedding_size = None
         return cls(
+            hidden_dropout_prob=getattr(hf, "hidden_dropout_prob", 0.0) or 0.0,
+            attention_probs_dropout_prob=getattr(
+                hf, "attention_probs_dropout_prob", 0.0) or 0.0,
             vocab_size=hf.vocab_size,
             hidden_size=hf.hidden_size,
             num_hidden_layers=hf.num_hidden_layers,
@@ -82,7 +92,7 @@ class BertSelfAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, attention_bias):
+    def __call__(self, hidden, attention_bias, deterministic: bool = True):
         cfg = self.config
         d = cfg.hidden_size
         n_heads = cfg.num_attention_heads
@@ -104,6 +114,8 @@ class BertSelfAttention(nn.Module):
         )
         logits = logits + attention_bias  # bias is [B, 1, 1, S], fp32
         probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
+            probs, deterministic=deterministic)
 
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
         ctx = ctx.astype(self.dtype)
@@ -118,17 +130,20 @@ class BertLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, attention_bias):
+    def __call__(self, hidden, attention_bias, deterministic: bool = True):
         cfg = self.config
+        drop = nn.Dropout(cfg.hidden_dropout_prob)
         attn_out = BertSelfAttention(cfg, dtype=self.dtype, name="attention")(
-            hidden, attention_bias
+            hidden, attention_bias, deterministic=deterministic
         )
+        attn_out = drop(attn_out, deterministic=deterministic)
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="attention_ln")(
             hidden + attn_out
         )
         ffn = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate")(hidden)
         ffn = ACT2FN[cfg.hidden_act](ffn)
         ffn = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output")(ffn)
+        ffn = drop(ffn, deterministic=deterministic)
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="output_ln")(
             hidden + ffn
         )
@@ -137,11 +152,12 @@ class BertLayer(nn.Module):
 
 class BertEncoder(nn.Module):
     """BERT-family encoder returning ``last_hidden_state`` (and pooler output
-    when ``config.add_pooler``). Dropout is intentionally omitted: the
-    retrieval recipes in the reference train with HF defaults where dropout
-    exists, but dense-retrieval fine-tuning is robust to it and removing it
-    keeps the train step deterministic; add stochastic depth later if a
-    recipe demands it.
+    when ``config.add_pooler``). Dropout follows HF config semantics
+    (reference trains through stock AutoModel checkpoints whose configs
+    carry ~0.1, dense_retrieval_model.py:173): active only when called
+    with ``deterministic=False`` and an ``rngs={"dropout": key}``; the
+    default (and any config with 0.0 rates) bit-reproduces the
+    dropout-free graph, so inference and the parity tests are unaffected.
     """
 
     config: BertConfig
@@ -153,6 +169,7 @@ class BertEncoder(nn.Module):
         input_ids: jnp.ndarray,
         attention_mask: jnp.ndarray,
         token_type_ids: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
     ):
         cfg = self.config
         B, S = input_ids.shape
@@ -181,6 +198,8 @@ class BertEncoder(nn.Module):
         hidden = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="embeddings_ln"
         )(hidden)
+        hidden = nn.Dropout(cfg.hidden_dropout_prob)(
+            hidden, deterministic=deterministic)
         if cfg.embedding_size and cfg.embedding_size != cfg.hidden_size:
             hidden = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="embeddings_project")(hidden)
 
@@ -190,7 +209,8 @@ class BertEncoder(nn.Module):
         ).astype(jnp.float32)
 
         for i in range(cfg.num_hidden_layers):
-            hidden = BertLayer(cfg, dtype=self.dtype, name=f"layer_{i}")(hidden, bias)
+            hidden = BertLayer(cfg, dtype=self.dtype, name=f"layer_{i}")(
+                hidden, bias, deterministic=deterministic)
 
         outputs = {"last_hidden_state": hidden}
         if cfg.add_pooler:

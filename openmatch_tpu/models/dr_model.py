@@ -64,6 +64,17 @@ class DRModel:
         if self.has_head:
             self._head = LinearHead(self.head_in_dim, self.head_out_dim, dtype=self.dtype)
 
+    @property
+    def dropout_active(self) -> bool:
+        """True when the encoder config carries nonzero dropout rates (the
+        train step then threads a per-step RNG; inference never does)."""
+        c = self.encoder_config
+        return bool(
+            getattr(c, "hidden_dropout_prob", 0.0)
+            or getattr(c, "attention_probs_dropout_prob", 0.0)
+            or getattr(c, "dropout_rate", 0.0)
+        )
+
     # ---- parameter initialization -------------------------------------
 
     def init_params(self, rng: jax.Array, seq_len: int = 8) -> Dict[str, Any]:
@@ -95,10 +106,22 @@ class DRModel:
         input_ids: jnp.ndarray,
         attention_mask: jnp.ndarray,
         is_query: bool = False,
+        dropout_rng: Optional[jax.Array] = None,
     ) -> jnp.ndarray:
-        """Encode a batch of token ids to representations [B, D]."""
+        """Encode a batch of token ids to representations [B, D].
+
+        ``dropout_rng``: when given, the encoder runs in training mode
+        (deterministic=False) with HF-config dropout rates (reference
+        trains through stock AutoModel checkpoints carrying ~0.1,
+        dense_retrieval_model.py:173); omitted (inference and the
+        parity tests) the graph is the exact dropout-free one."""
         enc_params, head_params = self._tower(params, is_query)
-        outputs = self._encoder.apply({"params": enc_params}, input_ids, attention_mask)
+        if dropout_rng is not None:
+            outputs = self._encoder.apply(
+                {"params": enc_params}, input_ids, attention_mask,
+                deterministic=False, rngs={"dropout": dropout_rng})
+        else:
+            outputs = self._encoder.apply({"params": enc_params}, input_ids, attention_mask)
         hidden = outputs[self.feature]
         reps = pool_hidden(hidden, attention_mask, self.pooling)
         if self.has_head:
@@ -107,11 +130,13 @@ class DRModel:
             reps = reps / jnp.linalg.norm(reps, axis=-1, keepdims=True).clip(1e-12)
         return reps
 
-    def encode_query(self, params, input_ids, attention_mask):
-        return self.encode(params, input_ids, attention_mask, is_query=True)
+    def encode_query(self, params, input_ids, attention_mask, dropout_rng=None):
+        return self.encode(params, input_ids, attention_mask, is_query=True,
+                           dropout_rng=dropout_rng)
 
-    def encode_passage(self, params, input_ids, attention_mask):
-        return self.encode(params, input_ids, attention_mask, is_query=False)
+    def encode_passage(self, params, input_ids, attention_mask, dropout_rng=None):
+        return self.encode(params, input_ids, attention_mask, is_query=False,
+                           dropout_rng=dropout_rng)
 
     # ---- construction --------------------------------------------------
 

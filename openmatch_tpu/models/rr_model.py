@@ -62,6 +62,15 @@ class RRModel:
     def is_monot5(self) -> bool:
         return self.backbone_type == "t5"
 
+    @property
+    def dropout_active(self) -> bool:
+        c = self.encoder_config
+        return bool(
+            getattr(c, "hidden_dropout_prob", 0.0)
+            or getattr(c, "attention_probs_dropout_prob", 0.0)
+            or getattr(c, "dropout_rate", 0.0)
+        )
+
     # ---- scoring -------------------------------------------------------
 
     def score(
@@ -70,17 +79,20 @@ class RRModel:
         input_ids: jnp.ndarray,
         attention_mask: jnp.ndarray,
         token_type_ids: Optional[jnp.ndarray] = None,
+        dropout_rng: Optional[jax.Array] = None,
     ) -> jnp.ndarray:
         """Score concatenated (query, passage) pairs.
 
         Returns [B, 1] (BERT head) or [B, 2] = logits at [neg, pos]
-        (monoT5), matching reference shapes.
-        """
+        (monoT5), matching reference shapes. ``dropout_rng`` enables
+        HF-config dropout for training (see DRModel.encode)."""
+        kwargs = {}
+        if dropout_rng is not None:
+            kwargs = dict(deterministic=False, rngs={"dropout": dropout_rng})
         if self.is_monot5:
-            out = self._encoder.apply({"params": params["encoder"]}, input_ids, attention_mask)
+            out = self._encoder.apply({"params": params["encoder"]}, input_ids, attention_mask, **kwargs)
             logits = out["logits"]  # [B, 1, V]
             return logits[:, 0, jnp.array([self.neg_token_id, self.pos_token_id])]
-        kwargs = {}
         if self.backbone_type == "bert" and token_type_ids is not None:
             kwargs["token_type_ids"] = token_type_ids
         out = self._encoder.apply({"params": params["encoder"]}, input_ids, attention_mask, **kwargs)
@@ -93,9 +105,15 @@ class RRModel:
         params: Dict[str, Any],
         pos_batch: Dict[str, jnp.ndarray],
         neg_batch: Dict[str, jnp.ndarray],
+        dropout_rng: Optional[jax.Array] = None,
     ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
-        pos_scores = self.score(params, **pos_batch)
-        neg_scores = self.score(params, **neg_batch)
+        if dropout_rng is not None:
+            r_pos, r_neg = jax.random.split(dropout_rng)
+            pos_scores = self.score(params, **pos_batch, dropout_rng=r_pos)
+            neg_scores = self.score(params, **neg_batch, dropout_rng=r_neg)
+        else:
+            pos_scores = self.score(params, **pos_batch)
+            neg_scores = self.score(params, **neg_batch)
         if self.loss_fn_str == "ce" and pos_scores.shape[-1] != 2:
             # the 2-class CE is defined over [neg, pos] logit pairs (monoT5);
             # a [B, 1] head would silently produce NaN loss

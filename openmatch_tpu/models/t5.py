@@ -49,6 +49,10 @@ class T5Config:
     tie_word_embeddings: bool = True
     decoder_start_token_id: int = 0
     pad_token_id: int = 0
+    # HF-config dropout (modeling_t5: embeddings, sublayer outputs, FFN
+    # inner, attention probs). Active only under deterministic=False with
+    # a "dropout" rng; 0.0 (default) bit-reproduces the dropout-free graph.
+    dropout_rate: float = 0.0
 
     @property
     def is_gated(self) -> bool:
@@ -77,6 +81,7 @@ class T5Config:
             tie_word_embeddings=getattr(hf, "tie_word_embeddings", True),
             decoder_start_token_id=getattr(hf, "decoder_start_token_id", 0) or 0,
             pad_token_id=hf.pad_token_id or 0,
+            dropout_rate=getattr(hf, "dropout_rate", 0.0) or 0.0,
         )
 
     def to_dict(self):
@@ -122,7 +127,7 @@ class T5Attention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, kv_hidden, bias):
+    def __call__(self, hidden, kv_hidden, bias, deterministic: bool = True):
         """bias: [1 or B, H, Sq, Skv] additive (pos bias + mask)."""
         cfg = self.config
         inner = cfg.num_heads * cfg.d_kv
@@ -132,6 +137,7 @@ class T5Attention(nn.Module):
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
         logits = logits + bias
         probs = jnp.asarray(nn.softmax(logits, axis=-1), self.dtype)
+        probs = nn.Dropout(cfg.dropout_rate)(probs, deterministic=deterministic)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
         ctx = ctx.astype(self.dtype)
         out = nn.DenseGeneral(cfg.d_model, axis=(-2, -1), use_bias=False, dtype=self.dtype, name="o")(ctx)
@@ -143,7 +149,7 @@ class T5FeedForward(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden):
+    def __call__(self, hidden, deterministic: bool = True):
         cfg = self.config
         act = ACT2FN["gelu_new" if cfg.ff_act == "gelu" else cfg.ff_act]
         if cfg.is_gated:
@@ -152,6 +158,7 @@ class T5FeedForward(nn.Module):
             hidden = act(wi0) * wi1
         else:
             hidden = act(nn.Dense(cfg.d_ff, use_bias=False, dtype=self.dtype, name="wi")(hidden))
+        hidden = nn.Dropout(cfg.dropout_rate)(hidden, deterministic=deterministic)
         return nn.Dense(cfg.d_model, use_bias=False, dtype=self.dtype, name="wo")(hidden)
 
 
@@ -161,15 +168,26 @@ class T5Block(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, self_bias, enc_hidden=None, cross_bias=None):
+    def __call__(self, hidden, self_bias, enc_hidden=None, cross_bias=None,
+                 deterministic: bool = True):
         cfg = self.config
+        drop = nn.Dropout(cfg.dropout_rate)
         normed = RMSNorm(cfg.layer_norm_epsilon, dtype=self.dtype, name="self_attn_ln")(hidden)
-        hidden = hidden + T5Attention(cfg, dtype=self.dtype, name="self_attn")(normed, normed, self_bias)
+        hidden = hidden + drop(
+            T5Attention(cfg, dtype=self.dtype, name="self_attn")(
+                normed, normed, self_bias, deterministic=deterministic),
+            deterministic=deterministic)
         if self.is_decoder:
             normed = RMSNorm(cfg.layer_norm_epsilon, dtype=self.dtype, name="cross_attn_ln")(hidden)
-            hidden = hidden + T5Attention(cfg, dtype=self.dtype, name="cross_attn")(normed, enc_hidden, cross_bias)
+            hidden = hidden + drop(
+                T5Attention(cfg, dtype=self.dtype, name="cross_attn")(
+                    normed, enc_hidden, cross_bias, deterministic=deterministic),
+                deterministic=deterministic)
         normed = RMSNorm(cfg.layer_norm_epsilon, dtype=self.dtype, name="ff_ln")(hidden)
-        hidden = hidden + T5FeedForward(cfg, dtype=self.dtype, name="ff")(normed)
+        hidden = hidden + drop(
+            T5FeedForward(cfg, dtype=self.dtype, name="ff")(
+                normed, deterministic=deterministic),
+            deterministic=deterministic)
         return hidden
 
 
@@ -185,11 +203,12 @@ class T5Encoder(nn.Module):
     # Shared token embedding is owned here under name "shared".
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask):
+    def __call__(self, input_ids, attention_mask, deterministic: bool = True):
         cfg = self.config
+        drop = nn.Dropout(cfg.dropout_rate)
         S = input_ids.shape[1]
         shared = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=self.dtype, name="shared")
-        hidden = shared(input_ids)
+        hidden = drop(shared(input_ids), deterministic=deterministic)
 
         rel_bias_table = self.param(
             "rel_bias",
@@ -206,8 +225,10 @@ class T5Encoder(nn.Module):
         bias = pos_bias + _mask_bias(attention_mask)
 
         for i in range(cfg.num_layers):
-            hidden = T5Block(cfg, is_decoder=False, dtype=self.dtype, name=f"layer_{i}")(hidden, bias)
+            hidden = T5Block(cfg, is_decoder=False, dtype=self.dtype, name=f"layer_{i}")(
+                hidden, bias, deterministic=deterministic)
         hidden = RMSNorm(cfg.layer_norm_epsilon, dtype=self.dtype, name="final_ln")(hidden)
+        hidden = drop(hidden, deterministic=deterministic)
         return {"last_hidden_state": hidden}
 
 
@@ -224,13 +245,14 @@ class T5EncoderDecoderStep(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask):
+    def __call__(self, input_ids, attention_mask, deterministic: bool = True):
         cfg = self.config
+        drop = nn.Dropout(cfg.dropout_rate)
         shared = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=self.dtype, name="shared")
 
         # ---- encoder ----
         S = input_ids.shape[1]
-        hidden = shared(input_ids)
+        hidden = drop(shared(input_ids), deterministic=deterministic)
         enc_table = self.param(
             "enc_rel_bias",
             nn.initializers.normal(1.0),
@@ -244,13 +266,15 @@ class T5EncoderDecoderStep(nn.Module):
         pos_bias = jnp.transpose(jnp.asarray(enc_table, jnp.float32)[buckets], (2, 0, 1))[None]
         enc_bias = pos_bias + _mask_bias(attention_mask)
         for i in range(cfg.num_layers):
-            hidden = T5Block(cfg, is_decoder=False, dtype=self.dtype, name=f"enc_layer_{i}")(hidden, enc_bias)
+            hidden = T5Block(cfg, is_decoder=False, dtype=self.dtype, name=f"enc_layer_{i}")(
+                hidden, enc_bias, deterministic=deterministic)
         enc_hidden = RMSNorm(cfg.layer_norm_epsilon, dtype=self.dtype, name="enc_final_ln")(hidden)
+        enc_hidden = drop(enc_hidden, deterministic=deterministic)
 
         # ---- single decoder step ----
         B = input_ids.shape[0]
         dec_ids = jnp.full((B, 1), cfg.decoder_start_token_id, jnp.int32)
-        dec_hidden = shared(dec_ids)
+        dec_hidden = drop(shared(dec_ids), deterministic=deterministic)
         dec_table = self.param(
             "dec_rel_bias",
             nn.initializers.normal(1.0),
@@ -267,9 +291,11 @@ class T5EncoderDecoderStep(nn.Module):
         cross_bias = _mask_bias(attention_mask)  # no position bias on cross-attn
         for i in range(cfg.num_decoder_layers):
             dec_hidden = T5Block(cfg, is_decoder=True, dtype=self.dtype, name=f"dec_layer_{i}")(
-                dec_hidden, dec_self_bias, enc_hidden, cross_bias
+                dec_hidden, dec_self_bias, enc_hidden, cross_bias,
+                deterministic=deterministic
             )
         dec_hidden = RMSNorm(cfg.layer_norm_epsilon, dtype=self.dtype, name="dec_final_ln")(dec_hidden)
+        dec_hidden = drop(dec_hidden, deterministic=deterministic)
 
         if cfg.tie_word_embeddings:
             scaled = dec_hidden * (cfg.d_model**-0.5)
@@ -296,13 +322,14 @@ class T5Seq2Seq(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, decoder_input_ids,
-                 decoder_attention_mask=None):
+                 decoder_attention_mask=None, deterministic: bool = True):
         cfg = self.config
+        drop = nn.Dropout(cfg.dropout_rate)
         shared = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=self.dtype, name="shared")
 
         # ---- encoder ----
         S = input_ids.shape[1]
-        hidden = shared(input_ids)
+        hidden = drop(shared(input_ids), deterministic=deterministic)
         enc_table = self.param(
             "enc_rel_bias",
             nn.initializers.normal(1.0),
@@ -316,12 +343,14 @@ class T5Seq2Seq(nn.Module):
         pos_bias = jnp.transpose(jnp.asarray(enc_table, jnp.float32)[buckets], (2, 0, 1))[None]
         enc_bias = pos_bias + _mask_bias(attention_mask)
         for i in range(cfg.num_layers):
-            hidden = T5Block(cfg, is_decoder=False, dtype=self.dtype, name=f"enc_layer_{i}")(hidden, enc_bias)
+            hidden = T5Block(cfg, is_decoder=False, dtype=self.dtype, name=f"enc_layer_{i}")(
+                hidden, enc_bias, deterministic=deterministic)
         enc_hidden = RMSNorm(cfg.layer_norm_epsilon, dtype=self.dtype, name="enc_final_ln")(hidden)
+        enc_hidden = drop(enc_hidden, deterministic=deterministic)
 
         # ---- decoder with causal self-attention ----
         T = decoder_input_ids.shape[1]
-        dec_hidden = shared(decoder_input_ids)
+        dec_hidden = drop(shared(decoder_input_ids), deterministic=deterministic)
         dec_table = self.param(
             "dec_rel_bias",
             nn.initializers.normal(1.0),
@@ -342,9 +371,11 @@ class T5Seq2Seq(nn.Module):
         cross_bias = _mask_bias(attention_mask)
         for i in range(cfg.num_decoder_layers):
             dec_hidden = T5Block(cfg, is_decoder=True, dtype=self.dtype, name=f"dec_layer_{i}")(
-                dec_hidden, dec_self_bias, enc_hidden, cross_bias
+                dec_hidden, dec_self_bias, enc_hidden, cross_bias,
+                deterministic=deterministic
             )
         dec_hidden = RMSNorm(cfg.layer_norm_epsilon, dtype=self.dtype, name="dec_final_ln")(dec_hidden)
+        dec_hidden = drop(dec_hidden, deterministic=deterministic)
 
         if cfg.tie_word_embeddings:
             logits = shared.attend((dec_hidden * (cfg.d_model**-0.5)).astype(jnp.float32))

@@ -690,9 +690,65 @@ def _gather_rescore_kernel(bids_ref, q_ref, p3_ref, out_ref, scratch, sems):
     out_ref[:] = jnp.concatenate(rows, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("kt",))
+def _gather_rescore_kernel_pipelined(bids_ref, q_ref, p3_ref, out_ref,
+                                     scratch, sems):
+    """Software-pipelined variant of _gather_rescore_kernel: scratch is
+    double-buffered ([2, QT*kt*8, D]) and the NEXT grid step's block
+    copies are issued before this step's dots, so DMA latency overlaps
+    the MXU work instead of serializing ahead of it (roadmap lever #3 /
+    VERDICT r2 next #4).
+
+    Scratch persists across grid steps on TPU (the grid is a sequential
+    loop), which is what makes the handoff legal: step s's copies are
+    started by step s-1 (step 0 starts its own in a prologue), waited at
+    step s, into slot s % 2. Wait descriptors are reconstructed from the
+    same (src, dst, sem) triple — a Mosaic wait is a semaphore countdown,
+    not an object handle."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    n_steps = pl.num_programs(0) * nj
+    kt = scratch.shape[1] // (GROUP * _QT)
+    step = i * nj + j
+
+    def issue(ii, jj, slot, do):
+        for qq in range(_QT):
+            for t in range(kt):
+                row = bids_ref[ii * _QT + qq, jj * kt + t]
+                c = pltpu.make_async_copy(
+                    p3_ref.at[row],
+                    scratch.at[slot, pl.ds((qq * kt + t) * GROUP, GROUP), :],
+                    sems.at[slot, qq],
+                )
+                c.start() if do == "start" else c.wait()
+
+    @pl.when(step == 0)
+    def _prologue():
+        issue(i, j, 0, "start")
+
+    @pl.when(step + 1 < n_steps)
+    def _prefetch_next():
+        nxt = step + 1
+        issue(nxt // nj, jax.lax.rem(nxt, nj), jax.lax.rem(nxt, 2), "start")
+
+    slot = jax.lax.rem(step, 2)
+    issue(i, j, slot, "wait")
+    rows = [
+        jax.lax.dot_general(
+            q_ref[qq:qq + 1, :],
+            scratch[slot, qq * kt * GROUP:(qq + 1) * kt * GROUP, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for qq in range(_QT)
+    ]
+    out_ref[:] = jnp.concatenate(rows, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("kt", "pipeline"))
 def pallas_gather_rescore(
     queries: jnp.ndarray, plain: jnp.ndarray, bids: jnp.ndarray, kt: int = 64,
+    pipeline: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact candidate scores for selected blocks via an in-kernel DMA
     gather from the PLAIN doc-major corpus:
@@ -702,7 +758,11 @@ def pallas_gather_rescore(
     tile-aligned output blocks) and Q to a multiple of 8; returns
     (scores [Q, k_pad*8] f32 with pad columns set to -inf,
     bids_pad [Q_pad, k_pad]). Global doc ids in the matching doc-major
-    layout are bids_pad[q, j] * 8 + m."""
+    layout are bids_pad[q, j] * 8 + m.
+
+    ``pipeline=True`` double-buffers the scratch and overlaps the next
+    grid step's copies with this step's dots (measured on rescore_compare
+    before flipping the default)."""
     Q, D = queries.shape
     N = plain.shape[0]
     k = bids.shape[1]
@@ -716,22 +776,31 @@ def pallas_gather_rescore(
     Qp = Q + q_pad
     p3 = plain.reshape(N // GROUP, GROUP, D)  # leading split: layout-free
     grid = (Qp // _QT, k_pad // kt)
+    if pipeline:
+        kernel = _gather_rescore_kernel_pipelined
+        scratch_shapes = [
+            pltpu.VMEM((2, _QT * kt * GROUP, D), plain.dtype),
+            pltpu.SemaphoreType.DMA((2, _QT)),
+        ]
+    else:
+        kernel = _gather_rescore_kernel
+        scratch_shapes = [
+            pltpu.VMEM((_QT * kt * GROUP, D), plain.dtype),
+            pltpu.SemaphoreType.DMA((_QT,)),
+        ]
     out = pl.pallas_call(
-        _gather_rescore_kernel,
+        kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((_QT, D), lambda i, j, bids: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((_QT, kt * GROUP), lambda i, j, bids: (i, j),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((_QT * kt * GROUP, D), plain.dtype),
-                pltpu.SemaphoreType.DMA((_QT,)),
-            ],
+            scratch_shapes=scratch_shapes,
         ),
         out_shape=jax.ShapeDtypeStruct((Qp, k_pad * GROUP), jnp.float32),
         compiler_params=pltpu.CompilerParams(

@@ -80,6 +80,51 @@ class QGModel:
                                eos_token_id, temperature, rng)
 
 
+def _decode_generated(tokenizer, ids, eos_token_id: int = 1) -> str:
+    ids = [int(t) for t in ids]
+    if eos_token_id in ids:
+        ids = ids[: ids.index(eos_token_id)]
+    return tokenizer.decode(ids, skip_special_tokens=True).strip()
+
+
+def generate_seed_queries(
+    qg: QGModel,
+    tokenizer,
+    corpus: Dict[str, str],
+    doc_ids: Optional[List[str]] = None,
+    max_src_len: int = 256,
+    max_new_tokens: int = 24,
+    batch_size: int = 16,
+    temperature: float = 0.0,
+    eos_token_id: int = 1,
+) -> Dict[str, str]:
+    """Step 2 of the reference pipeline (qg_inference.sh,
+    contrastive-supervision-synthesis.md:45-60): one seed query per
+    target-domain document from the trained QG model. Returns
+    {doc_id: query_text} (empty generations dropped)."""
+    from ..data.collators import pad_ids
+
+    ids = list(doc_ids if doc_ids is not None else corpus.keys())
+    out: Dict[str, str] = {}
+    for i in range(0, len(ids), batch_size):
+        chunk = ids[i : i + batch_size]
+        enc = [
+            tokenizer(corpus[d], truncation=True,
+                      max_length=max_src_len)["input_ids"]
+            for d in chunk
+        ]
+        batch = pad_ids(enc, max_src_len, qg.config.pad_token_id)
+        gen = np.asarray(qg.generate(batch["input_ids"], batch["attention_mask"],
+                                     max_new_tokens=max_new_tokens,
+                                     temperature=temperature,
+                                     eos_token_id=eos_token_id))
+        for d, g in zip(chunk, gen):
+            q = _decode_generated(tokenizer, g, eos_token_id)
+            if q:
+                out[d] = q
+    return out
+
+
 def make_contrast_input(tokenizer, pos_doc: str, neg_doc: str, max_len: int) -> List[int]:
     """'positive: <doc+> negative: <doc−>' encoder sequence."""
     text = f"positive: {pos_doc} negative: {neg_doc}"
@@ -123,6 +168,7 @@ def synthesize_training_data(
     max_new_tokens: int = 24,
     batch_size: int = 16,
     temperature: float = 0.0,
+    eos_token_id: int = 1,
 ) -> int:
     """Generate contrastive queries for (pos, neg) doc pairs and write
     OpenMatch train jsonl. Returns number of examples written."""
@@ -140,12 +186,10 @@ def synthesize_training_data(
             batch = pad_ids(enc, max_src_len, qg.config.pad_token_id)
             gen = np.asarray(qg.generate(batch["input_ids"], batch["attention_mask"],
                                          max_new_tokens=max_new_tokens,
-                                         temperature=temperature))
+                                         temperature=temperature,
+                                         eos_token_id=eos_token_id))
             for (qid, pos, neg), ids in zip(chunk, gen):
-                ids = [int(t) for t in ids]
-                if 1 in ids:  # cut at eos
-                    ids = ids[: ids.index(1)]
-                query = tokenizer.decode(ids, skip_special_tokens=True).strip()
+                query = _decode_generated(tokenizer, ids, eos_token_id)
                 if not query:
                     continue
                 f.write(json.dumps({

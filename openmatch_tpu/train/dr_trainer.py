@@ -63,6 +63,18 @@ class DRTrainer:
                 "grad_cache=False (the shard_map paths assume replicated "
                 "params)"
             )
+        self._dropout = getattr(model, "dropout_active", False)
+        if self._dropout and train_args.grad_cache:
+            # GradCache's two-pass replay requires identical dropout masks
+            # in both passes per chunk; rather than silently decorrelating
+            # (wrong gradients) the combination is rejected outright.
+            raise ValueError(
+                "grad_cache=True with a nonzero-dropout encoder config is "
+                "not supported: the chunked replay would resample masks. "
+                "Rebuild the model with dropout rates 0.0 (e.g. "
+                "dataclasses.replace(config, hidden_dropout_prob=0.0)) or "
+                "disable grad_cache."
+            )
 
         tx = make_optimizer(train_args, total_steps)
         with self.mesh:
@@ -93,10 +105,17 @@ class DRTrainer:
 
     # ------------------------------------------------------------------
 
-    def _loss_global(self, params, batch):
+    def _loss_global(self, params, batch, dropout_rng=None):
         """Global in-batch negatives (negatives_x_device semantics)."""
-        q_reps = self.model.encode_query(params, batch["query"]["input_ids"], batch["query"]["attention_mask"])
-        p_reps = self.model.encode_passage(params, batch["passage"]["input_ids"], batch["passage"]["attention_mask"])
+        r_q = r_p = None
+        if dropout_rng is not None:
+            r_q, r_p = jax.random.split(dropout_rng)
+        q_reps = self.model.encode_query(
+            params, batch["query"]["input_ids"],
+            batch["query"]["attention_mask"], dropout_rng=r_q)
+        p_reps = self.model.encode_passage(
+            params, batch["passage"]["input_ids"],
+            batch["passage"]["attention_mask"], dropout_rng=r_p)
         if self.args.dual_learning:
             return dual_contrastive_loss(q_reps, p_reps, self.args.dual_weight)
         return simple_contrastive_loss(q_reps, p_reps,
@@ -161,18 +180,33 @@ class DRTrainer:
 
             return step
 
+        # deterministic per-step dropout RNG (nonzero-rate configs only):
+        # folded with the step counter so resume reproduces the schedule
+        base_key = jax.random.PRNGKey(args.seed)
+        use_dropout = self._dropout
+
         if args.negatives_x_device:
 
             @partial(jax.jit, donate_argnums=(0,))
             def step(state, batch):
-                loss, grads = jax.value_and_grad(self._loss_global)(state.params, batch)
+                rng = (jax.random.fold_in(base_key, state.step)
+                       if use_dropout else None)
+                loss, grads = jax.value_and_grad(self._loss_global)(
+                    state.params, batch, rng)
                 return state.apply_gradients(grads), loss
 
             return step
 
         # local in-batch negatives per data shard
         def local_step(state, batch):
-            loss, grads = jax.value_and_grad(self._loss_global)(state.params, batch)
+            rng = None
+            if use_dropout:
+                # distinct masks per shard: fold step, then shard index
+                rng = jax.random.fold_in(
+                    jax.random.fold_in(base_key, state.step),
+                    jax.lax.axis_index(DATA_AXIS))
+            loss, grads = jax.value_and_grad(self._loss_global)(
+                state.params, batch, rng)
             loss = jax.lax.pmean(loss, DATA_AXIS)
             grads = jax.lax.pmean(grads, DATA_AXIS)
             return state.apply_gradients(grads), loss

@@ -53,14 +53,19 @@ class RRTrainer:
 
     def _build_step(self):
         mesh = self.mesh
+        base_key = jax.random.PRNGKey(self.args.seed)
+        use_dropout = getattr(self.model, "dropout_active", False)
 
-        def loss_fn(params, batch):
-            loss, _ = self.model.loss(params, batch["pos_pairs"], batch["neg_pairs"])
+        def loss_fn(params, batch, rng):
+            loss, _ = self.model.loss(params, batch["pos_pairs"],
+                                      batch["neg_pairs"], dropout_rng=rng)
             return loss
 
         @partial(jax.jit, donate_argnums=(0,))
         def step(state, batch):
-            loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+            rng = (jax.random.fold_in(base_key, state.step)
+                   if use_dropout else None)
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
             return state.apply_gradients(grads), loss
 
         return step

@@ -101,6 +101,58 @@ class TestBertParity:
         np.testing.assert_allclose(got[1], h[1].mean(axis=0), rtol=1e-5)
 
 
+class TestDropout:
+    """HF-config dropout semantics (reference trains through stock
+    AutoModel checkpoints with ~0.1 dropout, dense_retrieval_model.py:173):
+    eval mode stays pinned to torch regardless of configured rates (the
+    parity tests above already run under the HF default 0.1), train mode
+    is stochastic-but-reproducible, and 0.0 rates bit-reproduce the
+    dropout-free graph even in train mode."""
+
+    def test_config_carries_hf_rates(self, bert_pair):
+        config, _, _ = bert_pair
+        assert config.hidden_dropout_prob == 0.1
+        assert config.attention_probs_dropout_prob == 0.1
+
+    def test_train_mode_stochastic_reproducible(self, bert_pair):
+        import jax
+
+        config, _, params = bert_pair
+        enc = BertEncoder(config)
+        rng = np.random.RandomState(3)
+        ids = jnp.asarray(rng.randint(1, 100, size=(2, 6)), jnp.int32)
+        mask = jnp.ones_like(ids)
+        eval_out = enc.apply({"params": params}, ids, mask)["last_hidden_state"]
+        key = jax.random.PRNGKey(0)
+        t1 = enc.apply({"params": params}, ids, mask, deterministic=False,
+                       rngs={"dropout": key})["last_hidden_state"]
+        t2 = enc.apply({"params": params}, ids, mask, deterministic=False,
+                       rngs={"dropout": key})["last_hidden_state"]
+        t3 = enc.apply({"params": params}, ids, mask, deterministic=False,
+                       rngs={"dropout": jax.random.PRNGKey(1)})["last_hidden_state"]
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+        assert np.abs(np.asarray(t1) - np.asarray(eval_out)).max() > 1e-4
+        assert np.abs(np.asarray(t1) - np.asarray(t3)).max() > 1e-6
+
+    def test_zero_rate_train_mode_bitexact(self, bert_pair):
+        import dataclasses
+
+        import jax
+
+        config, _, params = bert_pair
+        cfg0 = dataclasses.replace(config, hidden_dropout_prob=0.0,
+                                   attention_probs_dropout_prob=0.0)
+        enc = BertEncoder(cfg0)
+        rng = np.random.RandomState(4)
+        ids = jnp.asarray(rng.randint(1, 100, size=(2, 6)), jnp.int32)
+        mask = jnp.ones_like(ids)
+        eval_out = enc.apply({"params": params}, ids, mask)["last_hidden_state"]
+        train_out = enc.apply(
+            {"params": params}, ids, mask, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(0)})["last_hidden_state"]
+        np.testing.assert_array_equal(np.asarray(eval_out), np.asarray(train_out))
+
+
 class TestRobertaParity:
     def test_roberta_positions(self):
         import torch

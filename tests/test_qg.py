@@ -103,6 +103,93 @@ class TestQGTrainingAndGeneration:
         np.testing.assert_array_equal(gen[0], [9, 10, 11, 1])
 
 
+class TestSynthesisPipeline:
+    """End-to-end ContrastQG driver (VERDICT r2 next #7): prepro -> seed
+    QG -> BM25 subset retrieval -> pair sampling -> contrastive QG ->
+    train jsonl consumable by the DR training stack. Tiny random models:
+    the structural contract (every stage wired, output format trainable)
+    is what's under test; generation quality needs real checkpoints."""
+
+    def test_pipeline_produces_trainable_jsonl(self, tmp_path):
+        import os
+
+        from transformers import BertTokenizerFast
+
+        from openmatch_tpu.config import DataArguments, TrainingArguments
+        from openmatch_tpu.data.collators import QPCollator
+        from openmatch_tpu.data.loader import batched
+        from openmatch_tpu.data.train_dataset import DRTrainDataset
+        from openmatch_tpu.drivers.qg_synthesis import load_corpus, run_pipeline
+        from openmatch_tpu.models.bert import BertConfig
+        from openmatch_tpu.models.dr_model import DRModel
+        from openmatch_tpu.parallel.mesh import make_mesh
+        from openmatch_tpu.train.dr_trainer import DRTrainer
+
+        topics = [f"topic{i}" for i in range(8)]
+        # every content word appears in every doc so ANY greedy-generated
+        # seed query has BM25 term overlap (the random tiny model's output
+        # vocabulary is unconstrained)
+        vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+                 "document", "query", "positive", "negative", ":"] + topics
+        (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+        tokenizer = BertTokenizerFast(vocab_file=str(tmp_path / "vocab.txt"))
+
+        corpus_path = tmp_path / "docs.jsonl"
+        corpus_path.write_text("\n".join(
+            json.dumps({"id": f"d{i}", "title": "",
+                        "text": f"document query positive negative {t}"})
+            for i, t in enumerate(topics)) + "\n")
+
+        # tiny random QG/ContrastQG over the tokenizer's vocab size
+        cfg = tiny_cfg(vocab=tokenizer.vocab_size)
+        qg = QGModel(cfg)
+        qg.init_params(jax.random.PRNGKey(0))
+        cqg = QGModel(cfg)
+        cqg.init_params(jax.random.PRNGKey(1))
+
+        out_path = str(tmp_path / "synthetic.train.jsonl")
+        corpus = load_corpus(str(corpus_path))
+        assert corpus["d0"] == "document query positive negative topic0"
+        # eos_token_id=-1: random tiny models would otherwise greedily
+        # emit eos first and synthesize nothing — full-length greedy
+        # sequences keep the structural test deterministic and non-empty
+        n = run_pipeline(
+            qg, cqg, tokenizer, corpus, out_path,
+            max_src_len=16, max_new_tokens=4, batch_size=4, bm25_topk=8,
+            neg_rank_range=(2, 6), seed=0, eos_token_id=-1)
+        assert n >= 1 and os.path.exists(out_path)
+
+        rows = [json.loads(l) for l in open(out_path)]
+        assert len(rows) == n
+        for r in rows:
+            assert r["query"] and r["positives"] and r["negatives"]
+            assert r["positives"][0] in corpus.values()
+            assert r["negatives"][0] in corpus.values()
+            assert r["positives"][0] != r["negatives"][0]
+
+        # the synthesized file feeds the DR training stack directly
+        bcfg = BertConfig(
+            vocab_size=tokenizer.vocab_size, hidden_size=16,
+            num_hidden_layers=1, num_attention_heads=2, intermediate_size=32,
+            max_position_embeddings=32, add_pooler=False)
+        model = DRModel(encoder_config=bcfg, tied=True, dtype=jnp.float32)
+        params = model.init_params(jax.random.PRNGKey(2))
+        data_args = DataArguments(train_path=out_path, train_n_passages=2,
+                                  q_max_len=8, p_max_len=8)
+        mesh1 = make_mesh(dp_size=1, tp_size=1, devices=jax.devices()[:1])
+        trainer = DRTrainer(
+            model, params,
+            TrainingArguments(learning_rate=1e-3, warmup_ratio=0.0,
+                              logging_steps=1000, save_steps=0),
+            total_steps=1, mesh=mesh1)
+        ds = DRTrainDataset(tokenizer, data_args)
+        collator = QPCollator(pad_token_id=tokenizer.pad_token_id,
+                              q_max_len=8, p_max_len=8)
+        batch = next(iter(batched(ds.epoch_iterator(0, None), n, collator)))
+        loss = trainer.train_step(batch)
+        assert np.isfinite(float(loss))
+
+
 class TestContrastPairs:
     def test_pairs_from_run(self):
         run = {"q1": {f"d{i}": float(100 - i) for i in range(10)}}
