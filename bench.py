@@ -25,10 +25,16 @@ transiently holds leaked buffers from failed/killed clients (reclaimed on
 a ~10-20 min horizon), so the full index may not fit at run time. The
 script measures an ASCENDING ladder of corpus sizes, stopping at the
 first build failure — at most one failed allocation per run, since failed
-allocations themselves leak until reclaim. If 8.8M was measured directly,
-vs_baseline uses it; otherwise t(8.8M) is extrapolated along the affine
-slope fitted to the two largest measured sizes (and the metric label says
-so).
+allocations themselves leak until reclaim. Each rung runs in its OWN
+subprocess (``bench.py --rung N``): a fresh TPU client per size means the
+previous rung's corpus is released by clean process exit rather than
+relying on in-client frees propagating through the tunnel (r2's 6.63M
+build failed exactly that way). The 8.8M rung additionally runs the
+search with c_split=2 (sequential corpus segments, pallas_mips
+_plain_topk_core) so the [Q, N/8] f32 gmax resident halves next to the
+12.65 GiB corpus. If 8.8M was measured directly, vs_baseline uses it;
+otherwise t(8.8M) is extrapolated along the affine slope fitted to the
+two largest measured sizes (and the metric label says so).
 
 "value" is the MEASURED single-chip QPS (128 / t_slice) at the largest
 measured N. Exactness at scale is audited by scripts/perf/corpus_scale.py
@@ -36,6 +42,7 @@ measured N. Exactness at scale is audited by scripts/perf/corpus_scale.py
 """
 
 import json
+import os
 import sys
 import time
 from functools import partial
@@ -54,6 +61,9 @@ Q_GLOBAL, Q_CHIP, K = 512, 128, 1000
 # 6.63M rung (9.5 GiB) narrows the slope extrapolation to 1.33x when the
 # full 12.7 GiB corpus does not fit the chip's currently-usable HBM.
 LADDER = (276_306, 1_105_227, 2_210_456, 4_420_911, 6_631_367, N_FULL)
+# sequential corpus-segment split per rung (HBM lever; 1 = off)
+C_SPLIT = {N_FULL: 2}
+RUNG_TIMEOUT_S = 2700  # last-resort bound; a clean failure exits long before
 
 
 def build_block_corpus(jax, jnp, n_docs, seed=0):
@@ -100,7 +110,7 @@ def build_block_corpus(jax, jnp, n_docs, seed=0):
     return BlockCorpus(cb=None, tail=tail_rows, n_docs=n_docs, plain=plain)
 
 
-def time_slice(jax, jnp, n_docs, iters=8):
+def time_slice(jax, jnp, n_docs, iters=8, c_split=1):
     """Measured seconds per Q_CHIP-query batch over n_docs on this chip.
 
     The batch runs ``iters`` times inside ONE dispatched on-device
@@ -122,7 +132,8 @@ def time_slice(jax, jnp, n_docs, iters=8):
         p = BlockCorpus(cb=None, tail=tail_rows, n_docs=n_docs, plain=plain)
 
         def body(i, carry):
-            s, _ = pallas_plain_topk_prepared(qs + carry, p, k=K)
+            s, _ = pallas_plain_topk_prepared(qs + carry, p, k=K,
+                                              c_split=c_split)
             return carry + s[0, 0].astype(jnp.bfloat16) * jnp.bfloat16(1e-30)
 
         return jax.lax.fori_loop(0, iters, body, jnp.bfloat16(0.0))
@@ -134,17 +145,67 @@ def time_slice(jax, jnp, n_docs, iters=8):
     return (time.time() - t0) / iters
 
 
-def main():
+def run_rung(n_docs: int):
+    """Subprocess entry: measure ONE ladder rung and print its time as
+    the final stdout line (``RUNG <n> <seconds>``). A fresh process per
+    rung gives each size a clean TPU client: the corpus is released by
+    process exit, not by an in-client free racing the tunnel."""
     from openmatch_tpu.drivers.common import enable_compilation_cache
 
     enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 
-    on_tpu = jax.devices()[0].platform != "cpu"
+    t = time_slice(jax, jnp, n_docs, c_split=C_SPLIT.get(n_docs, 1))
+    print(f"RUNG {n_docs} {t:.6f}", flush=True)
+
+
+def _measure_ladder():
+    """Parent: one subprocess per ascending rung, stop at first failure."""
+    import subprocess
+
+    times = {}
+    for n in LADDER:
+        cmd = [sys.executable, os.path.abspath(__file__), "--rung", str(n)]
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=RUNG_TIMEOUT_S)
+        except subprocess.TimeoutExpired:
+            print(f"N={n}: rung timed out after {RUNG_TIMEOUT_S}s "
+                  "(killed — HBM may leak until server reclaim)",
+                  file=sys.stderr)
+            break
+        sys.stderr.write(proc.stderr)
+        line = next((l for l in proc.stdout.splitlines()
+                     if l.startswith("RUNG ")), None)
+        if proc.returncode != 0 or line is None:
+            print(f"N={n}: rung failed (rc={proc.returncode})", file=sys.stderr)
+            break
+        _, n_str, t_str = line.split()
+        times[int(n_str)] = float(t_str)
+        print(f"t_slice(N={n}) = {times[n] * 1e3:.1f} ms", file=sys.stderr)
+    return times
+
+
+def _tpu_available() -> bool:
+    """Detect the axon tunnel WITHOUT initializing a jax client in this
+    process: the parent must never claim the chip — the tunnel serves one
+    client at a time, so a parent-held claim would deadlock the per-rung
+    subprocesses."""
+    return bool(os.environ.get("PALLAS_AXON_POOL_IPS")) or \
+        "axon" in os.environ.get("JAX_PLATFORMS", "")
+
+
+def main():
     n_chips = Q_GLOBAL // Q_CHIP
 
-    if not on_tpu:  # CPU fallback keeps the harness runnable anywhere
+    if not _tpu_available():  # CPU fallback keeps the harness runnable anywhere
+        from openmatch_tpu.drivers.common import enable_compilation_cache
+
+        enable_compilation_cache()
+        import jax
+        import jax.numpy as jnp
+
         from openmatch_tpu.ops.mips import Searcher
 
         N = 100_000
@@ -167,16 +228,9 @@ def main():
         }))
         return
 
-    # ascending ladder: measure every size that fits; the first build
-    # failure stops escalation (at most one failed allocation per run)
-    times = {}
-    for n in LADDER:
-        try:
-            times[n] = time_slice(jax, jnp, n)
-        except RuntimeError as e:
-            print(f"N={n}: {e}", file=sys.stderr)
-            break
-        print(f"t_slice(N={n}) = {times[n] * 1e3:.1f} ms", file=sys.stderr)
+    # ascending ladder, one subprocess per rung; the first failure stops
+    # escalation (at most one failed allocation per run)
+    times = _measure_ladder()
     if not times:
         raise SystemExit("no ladder size fit in HBM")
 
@@ -210,4 +264,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--rung":
+        run_rung(int(sys.argv[2]))
+    else:
+        main()

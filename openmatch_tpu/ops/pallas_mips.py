@@ -482,18 +482,32 @@ def _plain_gmax_kernel(q_ref, c_ref, g_ref, s_scratch):
     g_ref[:] = jnp.swapaxes(g, 0, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_g", "tile_q"))
+@functools.partial(jax.jit, static_argnames=("tile_g", "tile_q", "tile_lo",
+                                             "n_tiles"))
 def fused_plain_gmax(
     queries: jnp.ndarray, plain: jnp.ndarray,
     tile_g: int = 256, tile_q: int = 128,
+    tile_lo: int = 0, n_tiles: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Per-block score maxima [Q, N/8] f32 from the plain [N, D] bf16
-    corpus (N % (tile_g*8) == 0). tile_q must be 128 on hardware (the
-    strided member loads need a 128-lane base)."""
+    """Per-block score maxima [Q, n_tiles*tile_g] f32 from the plain
+    [N, D] bf16 corpus (N % (tile_g*8) == 0). tile_q must be 128 on
+    hardware (the strided member loads need a 128-lane base).
+
+    ``tile_lo``/``n_tiles`` window the kernel onto corpus tiles
+    [tile_lo, tile_lo + n_tiles) WITHOUT slicing the operand (a leading-
+    dim slice of a 12.65 GiB corpus would materialize a copy; the
+    BlockSpec index_map just offsets the DMA window) — the corpus-split
+    lever that keeps the gmax resident at [Q, NB/split] when HBM is
+    tight (roadmap lever #2)."""
     Q, D = queries.shape
     N = plain.shape[0]
     NB = N // GROUP
     assert N % (tile_g * GROUP) == 0, (N, tile_g)
+    total_tiles = NB // tile_g
+    if n_tiles is None:
+        n_tiles = total_tiles - tile_lo
+    assert 0 <= tile_lo and tile_lo + n_tiles <= total_tiles, (
+        tile_lo, n_tiles, total_tiles)
     # the strided member loads need a base whose last dim is EXACTLY 128
     # lanes, so the query tile is fixed there on hardware (tests pass
     # smaller tiles in interpret mode only)
@@ -509,16 +523,16 @@ def fused_plain_gmax(
     Qp = Q + q_pad
     gmax = pl.pallas_call(
         _plain_gmax_kernel,
-        grid=(Qp // tile_q, NB // tile_g),
+        grid=(Qp // tile_q, n_tiles),
         in_specs=[
             pl.BlockSpec((tile_q, D), lambda qb, t: (qb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_g * GROUP, D), lambda qb, t: (t, 0),
+            pl.BlockSpec((tile_g * GROUP, D), lambda qb, t: (t + tile_lo, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_q, tile_g), lambda qb, t: (qb, t),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Qp, NB), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Qp, n_tiles * tile_g), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((tile_g * GROUP, tile_q), jnp.float32),
         ],
@@ -526,8 +540,9 @@ def fused_plain_gmax(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Qp * NB * GROUP * D,
-            bytes_accessed=Qp * D * 2 + N * D * 2 + Qp * NB * 4,
+            flops=2 * Qp * n_tiles * tile_g * GROUP * D,
+            bytes_accessed=Qp * D * 2 + n_tiles * tile_g * GROUP * D * 2
+            + Qp * n_tiles * tile_g * 4,
             transcendentals=0,
         ),
         interpret=_interpret_mode(),
@@ -837,30 +852,75 @@ def pallas_block_topk_prepared(
                             tile_g, tile_q, qb, rescore, plain=prep.plain)
 
 
-@functools.partial(jax.jit, static_argnames=("n_docs", "k", "tile_g", "tile_q"))
+@functools.partial(jax.jit, static_argnames=(
+    "n_docs", "k", "tile_g", "tile_q", "pipeline", "c_split"))
 def _plain_topk_core(
     queries: jnp.ndarray, plain: jnp.ndarray, tail_rows: jnp.ndarray,
-    n_docs: int, k: int, tile_g: int, tile_q: int,
+    n_docs: int, k: int, tile_g: int, tile_q: int, pipeline: bool = True,
+    c_split: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-layout exact top-k: plain-corpus gmax kernel + planned
     max-pyramid selection + DMA gather-rescore. The fastest measured path
-    and the lowest-HBM one (one corpus copy)."""
+    and the lowest-HBM one (one corpus copy).
+
+    ``c_split`` > 1 processes the corpus in that many tile segments
+    SEQUENTIALLY (gmax -> select -> rescore per segment, candidates
+    merged at the end): the [Q, NB] f32 gmax resident shrinks to
+    [Q, NB/c_split], which is what lets the 8.8M-doc corpus (12.65 GiB)
+    plus its selection state fit a 16 GiB chip (roadmap lever #2 —
+    note the original Q-split idea cannot work: the strided member loads
+    pin the query tile at 128 lanes, so a 64-query pass still allocates
+    128 gmax rows). Exact: any global top-k doc is top-k within its own
+    segment, so the per-segment selections cover the global top-k.
+    An optimization_barrier chains segment s+1's queries on segment s's
+    candidates so XLA's buffer liveness lets the big gmax buffer be
+    reused rather than held live for both segments."""
     Q, D = queries.shape
     NB = n_docs // GROUP
     NBp = plain.shape[0] // GROUP
     tail = n_docs - NB * GROUP
+    total_tiles = NBp // tile_g
+    neg_inf = jnp.finfo(jnp.float32).min
 
-    gmax = fused_plain_gmax(queries, plain, tile_g, tile_q)  # [Q, NBp]
-    if NBp != NB:
-        col = jax.lax.broadcasted_iota(jnp.int32, gmax.shape, 1)
-        gmax = jnp.where(col < NB, gmax, jnp.finfo(jnp.float32).min)
+    if c_split > 1 and (total_tiles < c_split
+                        or (NBp // c_split) // 2 <= k):
+        c_split = 1  # segments too small to select k blocks from
 
-    bid = _select_groups(gmax, k)  # [Q, k]
+    seg_tiles = [total_tiles // c_split] * c_split
+    for i in range(total_tiles % c_split):
+        seg_tiles[i] += 1
 
-    cand, bid_pad = pallas_gather_rescore(queries, plain, bid)
-    k_pad = bid_pad.shape[1]
-    ids = (bid_pad[:, :, None] * GROUP
-           + jnp.arange(GROUP, dtype=jnp.int32)).reshape(Q, k_pad * GROUP)
+    cands, ids_list = [], []
+    tile_lo = 0
+    q_seg = queries
+    for s in range(c_split):
+        nt = seg_tiles[s]
+        blk_lo = tile_lo * tile_g
+        gmax = fused_plain_gmax(q_seg, plain, tile_g, tile_q,
+                                tile_lo=tile_lo, n_tiles=nt)
+        if blk_lo + nt * tile_g > NB:  # segment contains pad blocks
+            col = jax.lax.broadcasted_iota(jnp.int32, gmax.shape, 1)
+            gmax = jnp.where(blk_lo + col < NB, gmax, neg_inf)
+        k_seg = min(k, nt * tile_g)
+        bid = _select_groups(gmax, k_seg) + blk_lo  # global block ids
+        cand, bid_pad = pallas_gather_rescore(q_seg, plain, bid,
+                                              pipeline=pipeline)
+        k_pad = bid_pad.shape[1]
+        ids = (bid_pad[:, :, None] * GROUP
+               + jnp.arange(GROUP, dtype=jnp.int32)).reshape(Q, k_pad * GROUP)
+        if blk_lo + nt * tile_g > NB:
+            # pad-block candidates gathered zero rows; mask by id
+            cand = jnp.where(ids < NB * GROUP, cand, neg_inf)
+        cands.append(cand)
+        ids_list.append(ids)
+        tile_lo += nt
+        if s + 1 < c_split:
+            # serialize segments so the gmax buffer's live ranges don't
+            # overlap (numerically a no-op: returns q_seg unchanged)
+            q_seg, _ = jax.lax.optimization_barrier((queries, cand))
+
+    cand = jnp.concatenate(cands, axis=1) if c_split > 1 else cands[0]
+    ids = jnp.concatenate(ids_list, axis=1) if c_split > 1 else ids_list[0]
     if tail:
         tail_scores = jnp.dot(queries, tail_rows.T,
                               preferred_element_type=jnp.float32)
@@ -874,11 +934,14 @@ def _plain_topk_core(
 
 def pallas_plain_topk_prepared(
     queries: jnp.ndarray, prep: BlockCorpus, k: int = 1000,
-    tile_g: int = 256, tile_q: int = 512,
+    tile_g: int = 256, tile_q: int = 512, pipeline: bool = True,
+    c_split: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k over a prepare_plain_corpus layout (plain-only: gmax
     kernel reads the doc-major corpus via strided member loads, rescore
-    gathers whole blocks with in-kernel DMAs)."""
+    gathers whole blocks with in-kernel DMAs; ``pipeline`` selects the
+    software-pipelined rescore kernel, ``c_split`` the sequential
+    corpus-segment mode that shrinks the gmax HBM resident)."""
     if prep.plain is None:
         raise ValueError("prepare with prepare_plain_corpus "
                          "(prep.plain missing)")
@@ -891,7 +954,7 @@ def pallas_plain_topk_prepared(
             if prep.tail.shape[0] else prep.plain[: NB * GROUP]
         return exact_search(queries, corpus, k=k)
     return _plain_topk_core(queries, prep.plain, prep.tail, prep.n_docs, k,
-                            tile_g, tile_q)
+                            tile_g, tile_q, pipeline, c_split)
 
 
 def pad_plain(corpus: jnp.ndarray, tile_g: int = 256) -> jnp.ndarray:

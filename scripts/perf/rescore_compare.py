@@ -62,8 +62,10 @@ def main():
           lambda qs, p: pallas_block_topk_prepared(qs, p, k=K, rescore="xla"))
     timed("block path, rescore=dma",
           lambda qs, p: pallas_block_topk_prepared(qs, p, k=K, rescore="dma"))
-    timed("plain path (production)",
-          lambda qs, p: pallas_plain_topk_prepared(qs, p, k=K))
+    timed("plain path, rescore unpipelined",
+          lambda qs, p: pallas_plain_topk_prepared(qs, p, k=K, pipeline=False))
+    timed("plain path, rescore pipelined (production)",
+          lambda qs, p: pallas_plain_topk_prepared(qs, p, k=K, pipeline=True))
 
 
 if __name__ == "__main__":

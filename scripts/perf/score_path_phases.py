@@ -86,6 +86,33 @@ def main():
             return s, jnp.take_along_axis(ids, pos, axis=1)
 
         timed("cand gather+rank", cand_rank, scores, bid)
+    elif phase in ("resc", "resc0"):
+        # DMA gather-rescore kernel in isolation, amortized in one
+        # on-device loop (the 27 ms dispatch would swamp a ~5 ms phase);
+        # resc = software-pipelined kernel, resc0 = drain-then-compute
+        from openmatch_tpu.ops.pallas_mips import pallas_gather_rescore
+
+        plain = jr.normal(jr.PRNGKey(0), (NBp * GROUP, D), jnp.bfloat16)
+        q = jr.normal(jr.PRNGKey(1), (Q, D), jnp.bfloat16)
+        bid = jr.randint(jr.PRNGKey(2), (Q, K), 0, NB, jnp.int32)
+        pipe = phase == "resc"
+        iters = 16
+
+        @jax.jit
+        def loop(q, plain, bid):
+            def body(i, carry):
+                out, _ = pallas_gather_rescore(q + carry, plain, bid,
+                                               pipeline=pipe)
+                return carry + out[0, 0].astype(jnp.bfloat16) * jnp.bfloat16(1e-30)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.bfloat16(0.0))
+
+        np.asarray(loop(q, plain, bid))
+        t0 = time.time()
+        np.asarray(loop(q, plain, bid))
+        dt = (time.time() - t0) / iters
+        print(f"{phase} gather_rescore(pipeline={pipe}): {dt * 1000:.1f} ms",
+              flush=True)
     else:
         raise SystemExit(f"unknown phase {phase}")
 

@@ -315,6 +315,30 @@ class TestBlockTopk:
                                 jnp.int32(N), k=k)
         np.testing.assert_array_equal(np.asarray(i), brute(q, corpus, k))
 
+    @pytest.mark.parametrize("c_split", [2, 3])
+    def test_plain_path_c_split_exact(self, interpret_pallas, c_split):
+        """Sequential corpus-segment mode: per-segment selection +
+        candidate merge must stay exact across uneven segments, with the
+        zero-pad blocks in the last segment and all-negative real scores
+        (the pad-displacement adversarial case)."""
+        from openmatch_tpu.ops.pallas_mips import (
+            pallas_plain_topk_prepared, prepare_plain_corpus)
+
+        rng = np.random.RandomState(8)
+        N, k = 70000, 50
+        q = -np.abs(rng.randn(8, 128)).astype(np.float32)
+        c = np.abs(rng.randn(N, 128)).astype(np.float32)
+        c[69999] *= 10  # top doc in the ragged tail
+        prep = prepare_plain_corpus(jnp.asarray(c), tile_g=128)
+        s, i = pallas_plain_topk_prepared(
+            jnp.asarray(q), prep, k=k, tile_g=128, tile_q=8, c_split=c_split)
+        s1, i1 = pallas_plain_topk_prepared(
+            jnp.asarray(q), prep, k=k, tile_g=128, tile_q=8, c_split=1)
+        np.testing.assert_array_equal(np.asarray(i), brute(q, c, k))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s1),
+                                   rtol=1e-6, atol=1e-6)
+
     def test_plan_pyramid(self):
         from openmatch_tpu.ops.mips import _plan_pyramid
 
