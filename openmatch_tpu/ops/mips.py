@@ -88,48 +88,68 @@ def _hier2_topk(scores: jnp.ndarray, k: int, group: int = 8) -> Tuple[jnp.ndarra
     return s, jnp.take_along_axis(cand_idx, p, axis=1)
 
 
-def _topk_ms(width: int) -> float:
+def _topk_ms(width: float, q: int = 512) -> float:
     """lax.top_k cost model (XLA's custom TopK lowering), profiled on v5e
     at Q=512, k=1000: [512, 4000] 0.76 ms, [512, 8000] 1.9, [512, 17280]
-    6.8 — superlinear; fit ~ (W/1000)^1.5 / 13. Only the RANKING of plans
-    matters, so the Q dependence (everything scales ~linearly in Q)
-    cancels."""
-    return 0.4 + (width / 1000.0) ** 1.5 / 13.0
+    6.8 — superlinear in width; the width term scales ~linearly with the
+    query count (row-parallel work), the floor does not."""
+    return 0.1 + (width / 1000.0) ** 1.5 / 13.0 * (q / 512.0)
 
 
-def _gather_ms(src_width: int) -> float:
+def _gather_ms(src_width: float, q: int = 512) -> float:
     """Slab-gather cost per expansion (gather_row_slices: [Q, k] whole-slab
     descriptors): transaction-bound, nearly independent of fanout but
-    growing with SOURCE width (wider f32 level = more HBM pages touched).
-    Profiled on v5e at Q=512, k=1000: 34,560-wide 6.1 ms, 276,480-wide
-    9.9 ms — fit ~5.2 ms + 8.5 ms/GiB of source."""
-    gib = src_width * 512 * 4 / 2**30
-    return 5.2 + 8.5 * gib
+    growing with SOURCE size (wider f32 level = more HBM pages touched;
+    level arrays are [Q, W] so the source shrinks with Q too). Profiled
+    on v5e at Q=512, k=1000: 34,560-wide 6.1 ms, 276,480-wide 9.9 ms —
+    ~5.2 ms fixed + 8.5 ms/GiB of source; the fixed part is descriptor
+    issue ([Q, k] of them) and scales with Q."""
+    gib = src_width * q * 4 / 2**30
+    return 5.2 * (q / 512.0) + 8.5 * gib
 
 
-_IDFIX_MS = 0.9  # [Q, k] <- [Q, k] parent-id take_along_axis per expansion
+def _idfix_ms(q: int = 512) -> float:
+    # [Q, k] <- [Q, k] parent-id take_along_axis per expansion
+    return 0.9 * (q / 512.0)
 
 
-def _plan_pyramid(W: int, k: int):
-    """Pick (levels, fanout) minimizing modeled selection cost.
+_PLAN_FANOUTS = (2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64)
 
-    cost(L, f) = topk(W / f^L) + sum_i [gather(level_i) + topk(f*k) +
-    idfix]: more levels shrink the coarse top_k but each expansion pays a
-    member slab gather (priced by its level's width) + a [Q, f*k] top_k.
-    Evaluate L = 0..3 over candidate fanouts and keep the cheapest plan
-    whose coarse level still has > k entries."""
-    best = (0, 1, _topk_ms(W))
-    for L in (1, 2, 3):
-        for f in (2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64):
-            coarse = W / (f ** L)
-            if coarse <= k:
-                continue
-            cost = _topk_ms(coarse) + sum(
-                _gather_ms(W / (f ** i)) + _topk_ms(f * k) + _IDFIX_MS
-                for i in range(L))
-            if cost < best[2]:
-                best = (L, f, cost)
-    return best[0], best[1]
+
+def _plan_pyramid(W: int, k: int, q: int = 512):
+    """Pick the per-level fanout tuple minimizing modeled selection cost.
+
+    cost(f_1..f_L) = topk(coarse) + sum_i [gather(level_i) + topk(f_i*k)
+    + idfix]: more levels shrink the coarse top_k but each expansion pays
+    a member slab gather (priced by its level's size) + a [Q, f_i*k]
+    top_k. Fanouts are searched INDEPENDENTLY per level (the widest
+    level's gather dominates and is fanout-insensitive, so the optimum
+    typically wants a large first fanout to shrink level 1 fast, then
+    small fanouts where topk(f*k) matters); returns a finest-first fanout
+    tuple, () meaning plain top_k."""
+    best: Tuple[Tuple[int, ...], float] = ((), _topk_ms(W, q))
+    prefixes: list = [((), W, 0.0)]
+    for _level in range(3):
+        nxt = []
+        for combo, width, cost_sofar in prefixes:
+            for f in _PLAN_FANOUTS:
+                coarse = -(-width // f)
+                if coarse <= k:
+                    continue
+                c = cost_sofar + _gather_ms(width, q) + _topk_ms(f * k, q) \
+                    + _idfix_ms(q)
+                total = c + _topk_ms(coarse, q)
+                if total < best[1]:
+                    best = (combo + (f,), total)
+                nxt.append((combo + (f,), coarse, c))
+        # prune: keep the cheapest prefix per resulting width bucket
+        seen = {}
+        for combo, width, c in nxt:
+            key = width // max(k, 1)
+            if key not in seen or c < seen[key][2]:
+                seen[key] = (combo, width, c)
+        prefixes = list(seen.values())
+    return best[0]
 
 
 def gather_row_slices(arr: jnp.ndarray, starts: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -178,42 +198,49 @@ def _select_groups(gmax: jnp.ndarray, k: int, fanout: Optional[int] = None) -> j
     the returned positions (parent = pos // fanout via one tiny [Q, k]
     take_along_axis), never sorting ids as payload.
 
-    gmax: [Q, n_groups] f32. Returns group ids [Q, k] (unsorted order of
-    a sorted-by-max selection; the caller re-ranks candidates anyway).
+    gmax: [Q, n_groups] f32. ``fanout``: None plans per-level fanouts
+    from the profiled cost model (_plan_pyramid); an int forces a uniform
+    fanout (level count derived as before); a tuple forces exact
+    finest-first per-level fanouts. Returns group ids [Q, k] (unsorted
+    order of a sorted-by-max selection; the caller re-ranks candidates
+    anyway).
     """
     Q, W = gmax.shape
     neg_inf = jnp.finfo(jnp.float32).min
 
     if fanout is None:
-        n_levels, fanout = _plan_pyramid(W, k)
-    else:
-        n_levels = 0
+        fanouts = _plan_pyramid(W, k, Q)
+    elif isinstance(fanout, int):
+        fanouts = []
         w = W
         while w // fanout > k:
-            n_levels += 1
+            fanouts.append(fanout)
             w = -(-w // fanout)
+        fanouts = tuple(fanouts)
+    else:
+        fanouts = tuple(fanout)
 
     levels = [gmax]
-    for _ in range(n_levels):
+    for f in fanouts:
         cur = levels[-1]
         w = cur.shape[1]
-        pad = (-w) % fanout
+        pad = (-w) % f
         if pad:
             cur = jnp.pad(cur, ((0, 0), (0, pad)), constant_values=neg_inf)
         levels[-1] = cur  # keep the padded version for the expansion pass
-        levels.append(cur.reshape(Q, -1, fanout).max(axis=-1))
+        levels.append(cur.reshape(Q, -1, f).max(axis=-1))
 
     _, ids = jax.lax.top_k(levels[-1], min(k, levels[-1].shape[1]))
     if ids.shape[1] < k:  # tiny corpus: every coarse entry selected
         ids = jnp.pad(ids, ((0, 0), (0, k - ids.shape[1])), mode="edge")
-    for lvl in reversed(levels[:-1]):
-        member_vals = gather_row_slices(lvl, ids * fanout, fanout).reshape(
-            Q, ids.shape[1] * fanout)
+    for lvl, f in zip(reversed(levels[:-1]), reversed(fanouts)):
+        member_vals = gather_row_slices(lvl, ids * f, f).reshape(
+            Q, ids.shape[1] * f)
         _, pos = jax.lax.top_k(member_vals, k)
         # pos is parent-major (col = slot*fanout + m): recover the global
         # id from the selected parents without sorting ids as payload
-        parent = jnp.take_along_axis(ids, pos // fanout, axis=1)
-        ids = parent * fanout + pos % fanout
+        parent = jnp.take_along_axis(ids, pos // f, axis=1)
+        ids = parent * f + pos % f
     return ids
 
 
@@ -311,90 +338,6 @@ def exact_search(
         step, init, (corpus, jnp.arange(num_chunks, dtype=jnp.int32))
     )
     return scores, indices
-
-
-@functools.partial(jax.jit, static_argnames=("k", "chunk_size", "group"))
-def exact_search_global(
-    queries: jnp.ndarray,
-    corpus: jnp.ndarray,
-    k: int = 1000,
-    chunk_size: int = 0,
-    group: int = 8,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact top-k paying the selection cost ONCE per corpus, not per chunk.
-
-    Phase A: scan corpus chunks computing only per-group score maxima
-    (group=8 columns), leaving a [Q, N/group] fp32 summary — the full score
-    matrix is never stored.
-    Phase B: three-level exact selection on the summary: reduce to
-    supergroup maxima [Q, N/(8*group)], top-k supergroups, expand to their
-    member groups, top-k groups. (Same covering argument as _hier_topk at
-    each level: any column in the true top-k forces its group's and
-    supergroup's max >= s_k, and at most k such groups/supergroups exist.)
-    Phase C: gather the k*group candidate columns' corpus rows and rescore
-    them in fp32, final top-k.
-
-    vs the chunked ``hier`` scan this trades k*group gathered corpus rows
-    (tiny) for per-chunk top-k calls (the dominant cost at scale).
-    Requires N divisible by 8*group after padding (handled internally).
-    """
-    Q, D = queries.shape
-    N = corpus.shape[0]
-    k = min(k, N)
-    sg = 8 * group  # supergroup width in columns
-    pad = (-N) % sg
-    if pad:
-        corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
-    Np = N + pad
-    n_groups = Np // group
-    if n_groups // 8 <= k:  # tiny corpus: the scan path is fine
-        return exact_search(queries, corpus[:N], k=k, chunk_size=chunk_size)
-
-    if chunk_size <= 0:
-        chunk_size = min(Np, 262_144)
-    chunk_size = min(chunk_size - chunk_size % sg or sg, Np)
-    num_chunks = -(-Np // chunk_size)
-    pad2 = num_chunks * chunk_size - Np
-    if pad2:
-        corpus = jnp.pad(corpus, ((0, pad2), (0, 0)))
-        Np += pad2
-        n_groups = Np // group
-    chunks = corpus.reshape(num_chunks, chunk_size, D)
-
-    neg_inf = jnp.finfo(jnp.float32).min
-
-    def gmax_chunk(carry, chunk_and_idx):
-        chunk, c_idx = chunk_and_idx
-        scores = jnp.dot(queries, chunk.T, preferred_element_type=jnp.float32)
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(c_idx * chunk_size + col < N, scores, neg_inf)
-        g = scores.reshape(Q, chunk_size // group, group).max(axis=-1)
-        return carry, g
-
-    _, gmax = jax.lax.scan(
-        gmax_chunk, 0, (chunks, jnp.arange(num_chunks, dtype=jnp.int32))
-    )  # [num_chunks, Q, chunk/group]
-    gmax = jnp.transpose(gmax, (1, 0, 2)).reshape(Q, n_groups)
-
-    # Phase B: supergroups of 8 groups
-    smax = gmax.reshape(Q, n_groups // 8, 8).max(axis=-1)
-    _, super_ids = jax.lax.top_k(smax, k)  # [Q, k]
-    member_gmax = jnp.take_along_axis(
-        gmax.reshape(Q, n_groups // 8, 8), super_ids[:, :, None], axis=1
-    ).reshape(Q, 8 * k)
-    member_gids = (super_ids[:, :, None] * 8 + jnp.arange(8, dtype=jnp.int32)).reshape(Q, 8 * k)
-    _, pos = jax.lax.top_k(member_gmax, k)
-    group_ids = jnp.take_along_axis(member_gids, pos, axis=1)  # [Q, k]
-
-    # Phase C: rescore candidate columns in fp32
-    cand_ids = (group_ids[:, :, None] * group + jnp.arange(group, dtype=jnp.int32)).reshape(Q, k * group)
-    cand_rows = jnp.take(corpus, cand_ids.reshape(-1), axis=0).reshape(Q, k * group, D)
-    cand_scores = jnp.einsum(
-        "qcd,qd->qc", cand_rows, queries, preferred_element_type=jnp.float32
-    )
-    cand_scores = jnp.where(cand_ids < N, cand_scores, neg_inf)
-    s, p = jax.lax.top_k(cand_scores, k)
-    return s, jnp.take_along_axis(cand_ids, p, axis=1)
 
 
 def sharded_search(

@@ -763,7 +763,7 @@ def _gather_rescore_kernel_pipelined(bids_ref, q_ref, p3_ref, out_ref,
 @functools.partial(jax.jit, static_argnames=("kt", "pipeline"))
 def pallas_gather_rescore(
     queries: jnp.ndarray, plain: jnp.ndarray, bids: jnp.ndarray, kt: int = 64,
-    pipeline: bool = True,
+    pipeline: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact candidate scores for selected blocks via an in-kernel DMA
     gather from the PLAIN doc-major corpus:
@@ -776,8 +776,13 @@ def pallas_gather_rescore(
     layout are bids_pad[q, j] * 8 + m.
 
     ``pipeline=True`` double-buffers the scratch and overlaps the next
-    grid step's copies with this step's dots (measured on rescore_compare
-    before flipping the default)."""
+    grid step's copies with this step's dots. MEASURED A WASH on v5e
+    (2.21M docs, Q=128, k=1000: 19.8 ms drain vs 19.9 ms pipelined
+    end-to-end, rescore_compare.py) — the per-step copies already drain
+    through multiple DMA queues concurrently with the MXU work of other
+    queries, so prefetching a step ahead adds no bandwidth. Default
+    False: same speed, half the VMEM scratch (headroom for the fused
+    selection work)."""
     Q, D = queries.shape
     N = plain.shape[0]
     k = bids.shape[1]
@@ -856,7 +861,7 @@ def pallas_block_topk_prepared(
     "n_docs", "k", "tile_g", "tile_q", "pipeline", "c_split"))
 def _plain_topk_core(
     queries: jnp.ndarray, plain: jnp.ndarray, tail_rows: jnp.ndarray,
-    n_docs: int, k: int, tile_g: int, tile_q: int, pipeline: bool = True,
+    n_docs: int, k: int, tile_g: int, tile_q: int, pipeline: bool = False,
     c_split: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-layout exact top-k: plain-corpus gmax kernel + planned
@@ -934,7 +939,7 @@ def _plain_topk_core(
 
 def pallas_plain_topk_prepared(
     queries: jnp.ndarray, prep: BlockCorpus, k: int = 1000,
-    tile_g: int = 256, tile_q: int = 512, pipeline: bool = True,
+    tile_g: int = 256, tile_q: int = 512, pipeline: bool = False,
     c_split: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k over a prepare_plain_corpus layout (plain-only: gmax

@@ -66,11 +66,25 @@ def main():
         q = jr.normal(jr.PRNGKey(1), (Q, D), jnp.bfloat16)
         timed("a2 fused_scores", lambda: fused_scores(q, plain, tile=2048))
     elif phase == "sel":
+        # loop-amortized (27 ms/dispatch would swamp a ~6 ms phase)
         from openmatch_tpu.ops.mips import _select_groups
 
         g = jr.normal(jr.PRNGKey(0), (Q, NBp), jnp.float32)
-        select = jax.jit(lambda g: _select_groups(g, K))
-        timed("sel _select_groups", select, g)
+        iters = 16
+
+        @jax.jit
+        def loop(g):
+            def body(i, carry):
+                ids = _select_groups(g + carry, K)
+                return carry + (ids[0, 0] % 2).astype(jnp.float32) * 1e-30
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        np.asarray(loop(g))
+        t0 = time.time()
+        np.asarray(loop(g))
+        print(f"sel _select_groups: {(time.time() - t0) / iters * 1000:.1f} ms",
+              flush=True)
     elif phase == "cand":
         from openmatch_tpu.ops.mips import gather_row_slices
 
@@ -113,6 +127,33 @@ def main():
         dt = (time.time() - t0) / iters
         print(f"{phase} gather_rescore(pipeline={pipe}): {dt * 1000:.1f} ms",
               flush=True)
+    elif phase == "plain":
+        # whole-path rung: the production plain-kernel path end to end
+        # (the exact_search_global shootout ran here once: 92.8 ms vs
+        # 25.7 ms at 4.42M/Q=128 — deleted after losing 3.6x)
+        from openmatch_tpu.ops.pallas_mips import (
+            BlockCorpus, pallas_plain_topk_prepared)
+
+        plain = jr.normal(jr.PRNGKey(0), (NBp * GROUP, D), jnp.bfloat16)
+        q = jr.normal(jr.PRNGKey(1), (Q, D), jnp.bfloat16)
+        iters = 8
+
+        @jax.jit
+        def loop(q, plain):
+            p = BlockCorpus(cb=None, tail=plain[:0], n_docs=NBp * GROUP,
+                            plain=plain)
+
+            def body(i, carry):
+                s, _ = pallas_plain_topk_prepared(q + carry, p, k=K)
+                return carry + s[0, 0].astype(jnp.bfloat16) * jnp.bfloat16(1e-30)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.bfloat16(0.0))
+
+        np.asarray(loop(q, plain))
+        t0 = time.time()
+        np.asarray(loop(q, plain))
+        print(f"{phase}: {(time.time() - t0) / iters * 1000:.1f} ms "
+              f"(N={NBp * GROUP}, Q={Q}, K={K})", flush=True)
     else:
         raise SystemExit(f"unknown phase {phase}")
 

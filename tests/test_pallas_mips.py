@@ -342,10 +342,15 @@ class TestBlockTopk:
     def test_plan_pyramid(self):
         from openmatch_tpu.ops.mips import _plan_pyramid
 
-        L, f = _plan_pyramid(125_000, 1000)
-        assert L >= 1 and f >= 2  # wide level: worth at least one expansion
-        assert 125_000 / (f ** L) > 1000  # coarse level still wider than k
-        L0, _ = _plan_pyramid(3000, 1000)
-        assert L0 == 0  # small width: plain top_k is cheapest
-        L3, f3 = _plan_pyramid(1_105_000, 1000)
-        assert L3 >= 1 and 1_105_000 / (f3 ** L3) > 1000
+        def coarse(w, fanouts):
+            for f in fanouts:
+                w = -(-w // f)
+            return w
+
+        for w in (125_000, 552_704, 1_105_000):
+            for q in (128, 512):
+                plan = _plan_pyramid(w, 1000, q)
+                assert len(plan) >= 1  # wide level: worth >= 1 expansion
+                assert all(f >= 2 for f in plan)
+                assert coarse(w, plan) > 1000  # coarse still wider than k
+        assert _plan_pyramid(3000, 1000) == ()  # plain top_k is cheapest

@@ -178,14 +178,62 @@ class TestDropoutTraining:
                                   mesh=mesh8).train_step(batch))
         assert abs(l_drop - l_plain) > 1e-6
 
-    def test_grad_cache_with_dropout_rejected(self, mesh8):
+    def test_grad_cache_dropout_replay_gradient_exact(self):
+        """GradCache with dropout: the replay pass must see the SAME
+        per-chunk masks as the rep pass (RandContext equivalent), so the
+        chunked gradient equals jax.grad of the identically-chunked,
+        identically-rng'd direct formulation to 1e-5."""
+        model, params = self._dropout_model()
+
+        def enc_q(pr, b, rng=None):
+            return model.encode_query(pr, b["input_ids"],
+                                      b["attention_mask"], dropout_rng=rng)
+
+        def enc_p(pr, b, rng=None):
+            return model.encode_passage(pr, b["input_ids"],
+                                        b["attention_mask"], dropout_rng=rng)
+
+        rng = np.random.RandomState(0)
+        batch = make_batch(rng, n_q=4, n_psg=2, s=8)
+        q_chunks, p_chunks = 2, 4
+        key = jax.random.PRNGKey(3)
+        q_rngs = jax.random.split(jax.random.fold_in(key, 0), q_chunks)
+        p_rngs = jax.random.split(jax.random.fold_in(key, 1), p_chunks)
+
+        vg = grad_cache_value_and_grad(
+            enc_q, enc_p, simple_contrastive_loss, q_chunks, p_chunks)
+        loss_gc, grads_gc = jax.jit(vg)(
+            params, batch["query"], batch["passage"], q_rngs, p_rngs)
+
+        def direct_loss(pr):
+            q = jnp.concatenate([
+                enc_q(pr, jax.tree.map(lambda x: x.reshape(q_chunks, -1, *x.shape[1:])[i],
+                                       batch["query"]), q_rngs[i])
+                for i in range(q_chunks)])
+            p = jnp.concatenate([
+                enc_p(pr, jax.tree.map(lambda x: x.reshape(p_chunks, -1, *x.shape[1:])[i],
+                                       batch["passage"]), p_rngs[i])
+                for i in range(p_chunks)])
+            return simple_contrastive_loss(q, p)
+
+        loss_direct, grads_direct = jax.jit(
+            jax.value_and_grad(direct_loss))(params)
+        np.testing.assert_allclose(float(loss_gc), float(loss_direct), rtol=1e-6)
+        flat_gc = jax.tree.leaves(grads_gc)
+        flat_d = jax.tree.leaves(grads_direct)
+        for a, b in zip(flat_gc, flat_d):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5)
+
+    def test_grad_cache_dropout_trainer_step(self, mesh8):
         model, params = self._dropout_model()
         args = TrainingArguments(
             learning_rate=1e-3, warmup_ratio=0.0, grad_cache=True,
             per_device_train_batch_size=2, gc_q_chunk_size=1,
             gc_p_chunk_size=2, logging_steps=1000, save_steps=0)
-        with pytest.raises(ValueError, match="grad_cache"):
-            DRTrainer(model, params, args, total_steps=1, mesh=mesh8)
+        trainer = DRTrainer(model, params, args, total_steps=1, mesh=mesh8)
+        loss = trainer.train_step(make_batch(np.random.RandomState(0)))
+        assert np.isfinite(float(loss))
 
     def test_rr_trainer_dropout_step(self, mesh8):
         cfg = BertConfig(vocab_size=64, hidden_size=16, num_hidden_layers=1,
