@@ -88,29 +88,31 @@ def _hier2_topk(scores: jnp.ndarray, k: int, group: int = 8) -> Tuple[jnp.ndarra
     return s, jnp.take_along_axis(cand_idx, p, axis=1)
 
 
-def _topk_ms(width: float, q: int = 512) -> float:
-    """lax.top_k cost model (XLA's custom TopK lowering), profiled on v5e
-    at Q=512, k=1000: [512, 4000] 0.76 ms, [512, 8000] 1.9, [512, 17280]
-    6.8 — superlinear in width; the width term scales ~linearly with the
-    query count (row-parallel work), the floor does not."""
-    return 0.1 + (width / 1000.0) ** 1.5 / 13.0 * (q / 512.0)
+def _topk_ms(width: float, q: int = 128) -> float:
+    """lax.top_k cost model (XLA's custom TopK lowering), loop-amortized
+    on v5e at the SERVING query count Q=128, k=1000
+    (scripts/perf/selection_micro.py): [128, 2159] 1.07 ms, [128, 8000]
+    1.30 ms — a ~1.0 ms k=1000 floor (output materialization + per-row
+    sort network) plus a superlinear width term. The q factor scales the
+    row-parallel work; only the RANKING of plans matters, and that is
+    calibrated at q=128."""
+    return (1.0 + (width / 1000.0) ** 1.5 / 75.0) * (q / 128.0)
 
 
-def _gather_ms(src_width: float, q: int = 512) -> float:
+def _gather_ms(src_width: float, q: int = 128) -> float:
     """Slab-gather cost per expansion (gather_row_slices: [Q, k] whole-slab
-    descriptors): transaction-bound, nearly independent of fanout but
-    growing with SOURCE size (wider f32 level = more HBM pages touched;
-    level arrays are [Q, W] so the source shrinks with Q too). Profiled
-    on v5e at Q=512, k=1000: 34,560-wide 6.1 ms, 276,480-wide 9.9 ms —
-    ~5.2 ms fixed + 8.5 ms/GiB of source; the fixed part is descriptor
-    issue ([Q, k] of them) and scales with Q."""
+    descriptors): transaction-bound — a fixed descriptor-issue cost
+    ([Q, k] random 32 B fetches) plus a term in SOURCE size (wider f32
+    level = more HBM pages touched; level arrays are [Q, W]). Calibrated
+    from the decomposed 10.0 ms Q=128/4.42M selection measurement
+    (plan (8,8): two expansions bracket fixed ~1.9 ms + ~5.2 ms/GiB)."""
     gib = src_width * q * 4 / 2**30
-    return 5.2 * (q / 512.0) + 8.5 * gib
+    return 1.9 * (q / 128.0) + 5.2 * gib
 
 
-def _idfix_ms(q: int = 512) -> float:
+def _idfix_ms(q: int = 128) -> float:
     # [Q, k] <- [Q, k] parent-id take_along_axis per expansion
-    return 0.9 * (q / 512.0)
+    return 0.25 * (q / 128.0)
 
 
 _PLAN_FANOUTS = (2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64)
