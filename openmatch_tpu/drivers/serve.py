@@ -350,6 +350,7 @@ def make_handler(service, default_k: int, rerank_service=None):
 
 
 def build_service(model_args, data_args, infer_args, max_batch: int) -> RetrievalService:
+    import jax
     import jax.numpy as jnp
 
     from ..retriever.retriever import Retriever
@@ -359,9 +360,21 @@ def build_service(model_args, data_args, infer_args, max_batch: int) -> Retrieva
     retriever = Retriever.from_embeddings(
         model, params, data_args, infer_args, tokenizer.pad_token_id or 0
     )
+    # multi-chip hosts serve through the mesh Searcher (the fused kernel
+    # pipeline per chip — "queries" replicates the index and splits the
+    # batch, zero collectives; "docs" row-shards for indexes beyond one
+    # chip's HBM). --search_partition / --search_method select the shape.
+    mesh = None
+    if jax.device_count() > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp_size=jax.device_count(), tp_size=1)
     searcher = Searcher(
         jnp.asarray(retriever.doc_embeddings, jnp.bfloat16),
         k=infer_args.retrieve_depth,
+        mesh=mesh,
+        method=getattr(infer_args, "search_method", "auto"),
+        partition=getattr(infer_args, "search_partition", "docs"),
     )
     return RetrievalService(
         model, params, tokenizer, searcher, retriever.doc_ids,

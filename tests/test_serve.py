@@ -84,6 +84,52 @@ class TestService:
         assert service.search([], k=5) == []
 
 
+class TestMeshService:
+    def test_mesh_searcher_service_identity(self, tmp_path, mesh8):
+        """A RetrievalService over a mesh Searcher (the multi-chip serving
+        shape build_service picks on >1-device hosts) returns the same
+        identity ranking as the single-device service path."""
+        from transformers import BertTokenizerFast
+
+        from openmatch_tpu.data.collators import pad_ids
+
+        topics = [f"topic{i}" for i in range(8)]
+        vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "about",
+                 "document", "query"] + topics
+        (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+        tokenizer = BertTokenizerFast(vocab_file=str(tmp_path / "vocab.txt"))
+        cfg = BertConfig(vocab_size=32, hidden_size=16, num_hidden_layers=1,
+                         num_attention_heads=2, intermediate_size=32,
+                         max_position_embeddings=16, add_pooler=False)
+        model = DRModel(encoder_config=cfg, normalize=True, dtype=jnp.float32)
+        params = model.init_params(jax.random.PRNGKey(0))
+        docs = [f"document about topic{i}" for i in range(8)]
+        enc = [tokenizer.encode_plus(t, truncation="only_first", max_length=8,
+                                     return_attention_mask=False,
+                                     return_token_type_ids=False)["input_ids"]
+               for t in docs]
+        batch = pad_ids(enc, 8, tokenizer.pad_token_id)
+        reps = np.asarray(model.encode_passage(
+            params, jnp.asarray(batch["input_ids"]),
+            jnp.asarray(batch["attention_mask"])))
+        ids = [f"d{i}" for i in range(8)]
+
+        single = RetrievalService(
+            model, params, tokenizer,
+            Searcher(jnp.asarray(reps), k=4, method="hier2"),
+            ids, q_max_len=8, max_batch=4)
+        meshed = RetrievalService(
+            model, params, tokenizer,
+            Searcher(reps.astype(np.float32), k=4, mesh=mesh8,
+                     method="hier2", partition="queries"),
+            ids, q_max_len=8, max_batch=4)
+        queries = [f"document about topic{i}" for i in (1, 5)]
+        r1 = single.search(queries, k=3)
+        r2 = meshed.search(queries, k=3)
+        assert [[d["id"] for d in row] for row in r1] == \
+            [[d["id"] for d in row] for row in r2]
+
+
 class TestCoalescing:
     """Cross-request coalescing + bounded-queue backpressure
     (VERDICT r2 next #10)."""
