@@ -29,12 +29,15 @@ allocations themselves leak until reclaim. Each rung runs in its OWN
 subprocess (``bench.py --rung N``): a fresh TPU client per size means the
 previous rung's corpus is released by clean process exit rather than
 relying on in-client frees propagating through the tunnel (r2's 6.63M
-build failed exactly that way). The 8.8M rung additionally runs the
-search with c_split=2 (sequential corpus segments, pallas_mips
-_plain_topk_core) so the [Q, N/8] f32 gmax resident halves next to the
-12.65 GiB corpus. If 8.8M was measured directly, vs_baseline uses it;
-otherwise t(8.8M) is extrapolated along the affine slope fitted to the
-two largest measured sizes (and the metric label says so).
+build failed exactly that way). Big rungs store the corpus as N_SEGS
+tile-aligned SEGMENT arrays (BlockCorpus.plain tuple): the search is
+identical (per-segment gmax into one global selection; DMAs routed by
+block id), but no single allocation exceeds ~1/N_SEGS of the corpus —
+the r3 ladder watched a 9.5 GiB single buffer fail while same-total
+smaller buffers fit (fragmented tunnel free list). If 8.8M was measured
+directly, vs_baseline uses it; otherwise t(8.8M) is extrapolated along
+the affine slope fitted to the two largest measured sizes (and the
+metric label says so).
 
 "value" is the MEASURED single-chip QPS (128 / t_slice) at the largest
 measured N. Exactness at scale is audited by scripts/perf/corpus_scale.py
@@ -61,17 +64,19 @@ Q_GLOBAL, Q_CHIP, K = 512, 128, 1000
 # 6.63M rung (9.5 GiB) narrows the slope extrapolation to 1.33x when the
 # full 12.7 GiB corpus does not fit the chip's currently-usable HBM.
 LADDER = (276_306, 1_105_227, 2_210_456, 4_420_911, 6_631_367, N_FULL)
-# sequential corpus-segment split per rung (HBM lever; 1 = off)
-C_SPLIT = {N_FULL: 2}
+# corpus STORAGE segments per rung (fragmentation lever; 1 = single buffer)
+N_SEGS = {N_FULL: 3, 6_631_367: 2}
 RUNG_TIMEOUT_S = 2700  # last-resort bound; a clean failure exits long before
 
 
-def build_block_corpus(jax, jnp, n_docs, seed=0):
+def build_block_corpus(jax, jnp, n_docs, seed=0, n_segs=1):
     """Plain-layout BlockCorpus built directly via donated chunked writes
     (never 2x resident; ~210 MB RNG transient per step). The single
-    doc-major copy serves both the gmax kernel and the DMA rescore.
+    doc-major copy serves both the gmax kernel and the DMA rescore;
+    ``n_segs`` > 1 builds it as that many tile-aligned segment arrays
+    (same search, friendlier allocations on a fragmented free list).
 
-    Raises RuntimeError immediately when the buffer cannot be allocated
+    Raises RuntimeError immediately when a buffer cannot be allocated
     (no retry: a failed allocation leaks its reservation server-side until
     a ~10-20 min reclaim, so in-run retries only stack leaks)."""
     from openmatch_tpu.ops.pallas_mips import BlockCorpus
@@ -81,32 +86,49 @@ def build_block_corpus(jax, jnp, n_docs, seed=0):
     NBp = -(-NB // TILE_G) * TILE_G
     chunk = 17_269 * GROUP  # doc rows per fill step
 
+    total_tiles = NBp // TILE_G
+    n_segs = max(1, min(n_segs, total_tiles))
+    seg_tiles = [total_tiles // n_segs] * n_segs
+    for i in range(total_tiles % n_segs):
+        seg_tiles[i] += 1
+
     @partial(jax.jit, donate_argnums=(0,), static_argnames=("rows",))
     def fill(buf, key, start, rows):
         block = jax.random.normal(key, (rows, D), jnp.bfloat16)
         return jax.lax.dynamic_update_slice(buf, block, (start, 0))
 
-    plain = None
-    # fail fast: a FAILED allocation leaks its reservation until the
-    # ~10-20 min server-side reclaim, so retrying within a run only
-    # stacks a second leaked reservation — one attempt per run, period
-    try:
-        plain = jnp.zeros((NBp * GROUP, D), jnp.bfloat16)
-        np.asarray(plain.ravel()[0:1])
-    except Exception:
-        plain = None
-    if plain is None:
-        raise RuntimeError(f"corpus buffer ({NBp * GROUP * D * 2 / 2**30:.1f}"
-                           " GiB) would not allocate")
-    n_docs_body = NB * GROUP
-    n_chunks = -(-n_docs_body // chunk)
-    keys = jax.random.split(jax.random.PRNGKey(seed), n_chunks)
-    for i in range(n_chunks):
-        rows = min(chunk, n_docs_body - i * chunk)
-        plain = fill(plain, keys[i], i * chunk, rows=rows)
+    segs = []
+    row_lo = 0
+    key = jax.random.PRNGKey(seed)
+    for si, nt in enumerate(seg_tiles):
+        rows_here = nt * TILE_G * GROUP
+        # fail fast: a FAILED allocation leaks its reservation until the
+        # ~10-20 min server-side reclaim, so retrying within a run only
+        # stacks a second leaked reservation — one attempt per run, period
+        try:
+            seg = jnp.zeros((rows_here, D), jnp.bfloat16)
+            np.asarray(seg.ravel()[0:1])
+        except Exception:
+            seg = None
+        if seg is None:
+            raise RuntimeError(
+                f"corpus segment {si} ({rows_here * D * 2 / 2**30:.1f} GiB "
+                f"of {NBp * GROUP * D * 2 / 2**30:.1f}) would not allocate")
+        # fill only the VALID doc rows (pad rows beyond NB*GROUP stay 0
+        # and are masked by the search; they exist only in the last seg)
+        valid_here = min(max(NB * GROUP - row_lo, 0), rows_here)
+        n_chunks = -(-valid_here // chunk) if valid_here else 0
+        if n_chunks:
+            key, *keys = jax.random.split(key, n_chunks + 1)
+            for i in range(n_chunks):
+                rows = min(chunk, valid_here - i * chunk)
+                seg = fill(seg, keys[i], i * chunk, rows=rows)
+        np.asarray(seg.ravel()[0:1])
+        segs.append(seg)
+        row_lo += rows_here
     tail_rows = jax.random.normal(jax.random.PRNGKey(seed + 7), (tail, D),
                                   jnp.bfloat16)
-    np.asarray(plain.ravel()[0:1])
+    plain = tuple(segs) if n_segs > 1 else segs[0]
     return BlockCorpus(cb=None, tail=tail_rows, n_docs=n_docs, plain=plain)
 
 
@@ -165,7 +187,20 @@ def _measure_ladder():
     import subprocess
 
     times = {}
+    prev_gib = 0.0
     for n in LADDER:
+        gib = n * D * 2 / 2**30
+        if times and gib >= 8.0:
+            # a clean subprocess exit releases its corpus, but the release
+            # propagates through the tunnel with a lag: the r3 ladder saw
+            # 9.5 GiB fail 28 s after the 6.3 GiB rung exited, and the same
+            # allocation succeed in a later isolated run. Give big rungs a
+            # settle window scaled to what the previous rung held.
+            settle = 60 + int(prev_gib * 15)
+            print(f"N={n}: settling {settle}s before a {gib:.1f} GiB build",
+                  file=sys.stderr)
+            time.sleep(settle)
+        prev_gib = gib
         cmd = [sys.executable, os.path.abspath(__file__), "--rung", str(n)]
         try:
             proc = subprocess.run(

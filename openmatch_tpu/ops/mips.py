@@ -91,23 +91,25 @@ def _hier2_topk(scores: jnp.ndarray, k: int, group: int = 8) -> Tuple[jnp.ndarra
 def _topk_ms(width: float, q: int = 128) -> float:
     """lax.top_k cost model (XLA's custom TopK lowering), loop-amortized
     on v5e at the SERVING query count Q=128, k=1000
-    (scripts/perf/selection_micro.py): [128, 2159] 1.07 ms, [128, 8000]
-    1.30 ms — a ~1.0 ms k=1000 floor (output materialization + per-row
-    sort network) plus a superlinear width term. The q factor scales the
+    (scripts/perf/selection_micro.py): a ~1.0 ms k=1000 floor (output
+    materialization + per-row sort network) plus a superlinear width
+    term fit to [128, W] measurements W=2159: 1.07, 8000: 1.30, 16000:
+    1.99, 24000: 3.57, 32000: 3.77 ms. The q factor scales the
     row-parallel work; only the RANKING of plans matters, and that is
     calibrated at q=128."""
-    return (1.0 + (width / 1000.0) ** 1.5 / 75.0) * (q / 128.0)
+    return (1.0 + (width / 1000.0) ** 1.7 / 114.0) * (q / 128.0)
 
 
-def _gather_ms(src_width: float, q: int = 128) -> float:
+def _gather_ms(src_width: float, q: int = 128, slab: int = 8) -> float:
     """Slab-gather cost per expansion (gather_row_slices: [Q, k] whole-slab
     descriptors): transaction-bound — a fixed descriptor-issue cost
-    ([Q, k] random 32 B fetches) plus a term in SOURCE size (wider f32
-    level = more HBM pages touched; level arrays are [Q, W]). Calibrated
-    from the decomposed 10.0 ms Q=128/4.42M selection measurement
-    (plan (8,8): two expansions bracket fixed ~1.9 ms + ~5.2 ms/GiB)."""
+    ([Q, k] random fetches), a term in SOURCE size (wider f32 level =
+    more HBM pages touched; level arrays are [Q, W]), and a term in SLAB
+    width. Fit to [128, W] slab-8 measurements W=69k: 1.50, 138k: 1.58,
+    552k: 3.33, 1105k: 4.42 ms, and the slab sweep at W=552k f=8/16/24/
+    32: 3.33/4.36/5.20/6.17 ms (selection_micro.py gather)."""
     gib = src_width * q * 4 / 2**30
-    return 1.9 * (q / 128.0) + 5.2 * gib
+    return (1.35 + 0.12 * max(slab - 8, 0)) * (q / 128.0) + 5.8 * gib
 
 
 def _idfix_ms(q: int = 128) -> float:
@@ -115,42 +117,34 @@ def _idfix_ms(q: int = 128) -> float:
     return 0.25 * (q / 128.0)
 
 
-_PLAN_FANOUTS = (2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64)
+def _plan_pyramid(W: int, k: int, q: int = 128):
+    """Pick the pyramid level count minimizing modeled selection cost;
+    fanout is FIXED at 8 per level.
 
-
-def _plan_pyramid(W: int, k: int, q: int = 512):
-    """Pick the per-level fanout tuple minimizing modeled selection cost.
-
-    cost(f_1..f_L) = topk(coarse) + sum_i [gather(level_i) + topk(f_i*k)
-    + idfix]: more levels shrink the coarse top_k but each expansion pays
-    a member slab gather (priced by its level's size) + a [Q, f_i*k]
-    top_k. Fanouts are searched INDEPENDENTLY per level (the widest
-    level's gather dominates and is fanout-insensitive, so the optimum
-    typically wants a large first fanout to shrink level 1 fast, then
-    small fanouts where topk(f*k) matters); returns a finest-first fanout
-    tuple, () meaning plain top_k."""
+    An earlier version searched mixed per-level fanouts over the cost
+    model; direct measurement showed the model cannot rank fine plan
+    differences (its (24,) pick at W=552k measured 13.5 ms vs 10.0 for
+    (8,8), and (12,8) at W=1105k measured 16.7 vs 12.3) while uniform
+    fanout-8 measured best at EVERY serving width (Q=128, k=1000, v5e):
+    W=276k (8,8)=9.0 vs (8,)=10.4 vs (16,)=10.4; W=552k (8,8)=10.0 vs
+    (16,8)=11.3; W=1105k (8,8)=12.3 vs (8,8,8)=14.1. Fanout 8 also
+    matches the GROUP-slab gather granularity (32 B lines) and divides
+    the kernel tile, which lets fused_plain_gmax emit level 1 for free.
+    So the only planned degree of freedom left is DEPTH, where the
+    model's anchored topk/gather terms are trustworthy: one more level
+    trades topk(coarse) for gather(coarse)+topk(8k)+idfix. Returns a
+    finest-first fanout tuple, () meaning plain top_k."""
+    F = 8
     best: Tuple[Tuple[int, ...], float] = ((), _topk_ms(W, q))
-    prefixes: list = [((), W, 0.0)]
-    for _level in range(3):
-        nxt = []
-        for combo, width, cost_sofar in prefixes:
-            for f in _PLAN_FANOUTS:
-                coarse = -(-width // f)
-                if coarse <= k:
-                    continue
-                c = cost_sofar + _gather_ms(width, q) + _topk_ms(f * k, q) \
-                    + _idfix_ms(q)
-                total = c + _topk_ms(coarse, q)
-                if total < best[1]:
-                    best = (combo + (f,), total)
-                nxt.append((combo + (f,), coarse, c))
-        # prune: keep the cheapest prefix per resulting width bucket
-        seen = {}
-        for combo, width, c in nxt:
-            key = width // max(k, 1)
-            if key not in seen or c < seen[key][2]:
-                seen[key] = (combo, width, c)
-        prefixes = list(seen.values())
+    combo: Tuple[int, ...] = ()
+    width, acc = W, 0.0
+    while width // F > k and len(combo) < 4:
+        acc += _gather_ms(width, q, F) + _topk_ms(F * k, q) + _idfix_ms(q)
+        width = -(-width // F)
+        combo = combo + (F,)
+        total = acc + _topk_ms(width, q)
+        if total < best[1]:
+            best = (combo, total)
     return best[0]
 
 
@@ -175,7 +169,8 @@ def gather_row_slices(arr: jnp.ndarray, starts: jnp.ndarray, size: int) -> jnp.n
         arr.reshape(Q, W // size, size), (starts // size)[:, :, None], axis=1)
 
 
-def _select_groups(gmax: jnp.ndarray, k: int, fanout: Optional[int] = None) -> jnp.ndarray:
+def _select_groups(gmax: jnp.ndarray, k: int, fanout: Optional[int] = None,
+                   l1: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Exact top-k GROUP selection from per-group maxima via a max pyramid.
 
     Builds coarser maxima levels (width/fanout each) until one more level
@@ -200,12 +195,15 @@ def _select_groups(gmax: jnp.ndarray, k: int, fanout: Optional[int] = None) -> j
     the returned positions (parent = pos // fanout via one tiny [Q, k]
     take_along_axis), never sorting ids as payload.
 
-    gmax: [Q, n_groups] f32. ``fanout``: None plans per-level fanouts
-    from the profiled cost model (_plan_pyramid); an int forces a uniform
+    gmax: [Q, n_groups] f32. ``fanout``: None plans the level count from
+    the measured cost model (_plan_pyramid); an int forces a uniform
     fanout (level count derived as before); a tuple forces exact
-    finest-first per-level fanouts. Returns group ids [Q, k] (unsorted
-    order of a sorted-by-max selection; the caller re-ranks candidates
-    anyway).
+    finest-first per-level fanouts. ``l1``: a PRECOMPUTED level-1 maxima
+    array [Q, W // fanouts[0]] (fused_plain_gmax emit_l1 — the kernel
+    builds it for free while streaming the corpus), skipping the widest
+    XLA reshape-max pass here; requires a tuple/planned ``fanout`` whose
+    finest entry divides W. Returns group ids [Q, k] (unsorted order of
+    a sorted-by-max selection; the caller re-ranks candidates anyway).
     """
     Q, W = gmax.shape
     neg_inf = jnp.finfo(jnp.float32).min
@@ -222,8 +220,16 @@ def _select_groups(gmax: jnp.ndarray, k: int, fanout: Optional[int] = None) -> j
     else:
         fanouts = tuple(fanout)
 
-    levels = [gmax]
-    for f in fanouts:
+    if l1 is not None:
+        assert fanouts and W % fanouts[0] == 0 \
+            and l1.shape == (Q, W // fanouts[0]), (fanouts, gmax.shape,
+                                                   l1.shape)
+        levels = [gmax, l1]
+        build_fanouts = fanouts[1:]
+    else:
+        levels = [gmax]
+        build_fanouts = fanouts
+    for f in build_fanouts:
         cur = levels[-1]
         w = cur.shape[1]
         pad = (-w) % f

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mips import _select_groups
+from .mips import _plan_pyramid, _select_groups
 
 GROUP = 8
 # v5e scoped-vmem stack limit is 16 MiB; Mosaic adds ~1.4 MiB of overhead
@@ -374,17 +374,37 @@ def prepare_block_corpus(
     return BlockCorpus(cb=cb, tail=corpus[NB * GROUP:], n_docs=N, plain=plain)
 
 
-def prepare_plain_corpus(corpus: jnp.ndarray, tile_g: int = 256) -> BlockCorpus:
+def prepare_plain_corpus(corpus: jnp.ndarray, tile_g: int = 256,
+                         n_segs: int = 1) -> BlockCorpus:
     """Prepared PLAIN-ONLY layout: one padded doc-major copy serves both
     the gmax kernel (fused_plain_gmax, D-chunked strided member loads)
     and the DMA gather-rescore — half the HBM of the cb+plain pair, which
-    is what lets the whole 8.8M MS MARCO corpus fit one chip."""
+    is what lets the whole 8.8M MS MARCO corpus fit one chip.
+
+    ``n_segs`` > 1 stores the copy as that many tile-aligned SEGMENT
+    arrays (BlockCorpus.plain becomes a tuple): same search cost, but
+    each HBM allocation is 1/n_segs the size — for chips whose free HBM
+    is large enough in total but fragmented (see _plain_topk_core).
+    HBM-tight callers that cannot afford the transient doubled residency
+    of preparing from a device-resident corpus should build the segment
+    tuple directly (bench.py build_block_corpus does)."""
     N, D = corpus.shape
     NB = N // GROUP
     pad_b = (-NB) % tile_g
     plain = corpus[: NB * GROUP]
     if pad_b:
         plain = jnp.pad(plain, ((0, pad_b * GROUP), (0, 0)))
+    if n_segs > 1:
+        total_tiles = (NB + pad_b) // tile_g
+        n_segs = min(n_segs, total_tiles)
+        seg_tiles = [total_tiles // n_segs] * n_segs
+        for i in range(total_tiles % n_segs):
+            seg_tiles[i] += 1
+        parts, lo = [], 0
+        for nt in seg_tiles:
+            parts.append(plain[lo * tile_g * GROUP:(lo + nt) * tile_g * GROUP])
+            lo += nt
+        plain = tuple(parts)
     return BlockCorpus(cb=None, tail=corpus[NB * GROUP:], n_docs=N,
                        plain=plain)
 
@@ -482,12 +502,60 @@ def _plain_gmax_kernel(q_ref, c_ref, g_ref, s_scratch):
     g_ref[:] = jnp.swapaxes(g, 0, 1)
 
 
+def _make_plain_gmax_l1_kernel(f1: int, tile_g: int, tile_lo: int,
+                               nb_valid: Optional[int]):
+    """_plain_gmax_kernel variant that ALSO emits the first selection-
+    pyramid level (max over ``f1`` consecutive blocks) and, when
+    ``nb_valid`` is given, masks pad blocks to -inf IN-KERNEL.
+
+    Fusing the level-1 build here removes _select_groups' widest XLA
+    reshape-max pass (a full read of the [Q, NB] f32 gmax — ~0.6 GiB at
+    8.8M docs) and the separate pad-masking `where` pass over the same
+    array (roadmap lever #1). The level-1 reduction reuses the sublane-
+    strided-load pattern: g lands in a second f32 scratch and ``f1``
+    stride-``f1`` sublane loads reduce it, so it needs tile_g % f1 == 0.
+    """
+    neg_inf = float(jnp.finfo(jnp.float32).min)  # python scalar: a traced
+    # constant would be captured by the kernel closure, which pallas rejects
+
+    def kernel(q_ref, c_ref, g_ref, l1_ref, s_scratch, g_scr):
+        st = jax.lax.dot_general(
+            c_ref[:], q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [tile8, tq] f32, docs on sublanes
+        s_scratch[:] = st
+        g = s_scratch[0::GROUP, :]
+        for m in range(1, GROUP):
+            g = jnp.maximum(g, s_scratch[m::GROUP, :])
+        if nb_valid is not None:
+            # global block id of sublane r in this tile; pad blocks
+            # (id >= nb_valid) must not win selection at ANY level
+            base = (pl.program_id(1) + tile_lo) * tile_g
+            row = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
+            g = jnp.where(base + row < nb_valid, g, neg_inf)
+        g_scr[:] = g
+        l1 = g_scr[0::f1, :]
+        for m in range(1, f1):
+            l1 = jnp.maximum(l1, g_scr[m::f1, :])
+        g_ref[:] = jnp.swapaxes(g, 0, 1)
+        # l1 stays TRANSPOSED (level-1 maxima on sublanes): a query-major
+        # block would be [tq, tile_g/f1] = 32 lanes, below Mosaic's
+        # 128-lane output-block minimum; the wrapper transposes once in
+        # XLA (8x smaller than gmax — ~0.1 ms at serving scale)
+        l1_ref[:] = l1
+
+    return kernel
+
+
 @functools.partial(jax.jit, static_argnames=("tile_g", "tile_q", "tile_lo",
-                                             "n_tiles"))
+                                             "n_tiles", "emit_l1",
+                                             "nb_valid"))
 def fused_plain_gmax(
     queries: jnp.ndarray, plain: jnp.ndarray,
     tile_g: int = 256, tile_q: int = 128,
     tile_lo: int = 0, n_tiles: Optional[int] = None,
+    emit_l1: int = 0, nb_valid: Optional[int] = None,
 ) -> jnp.ndarray:
     """Per-block score maxima [Q, n_tiles*tile_g] f32 from the plain
     [N, D] bf16 corpus (N % (tile_g*8) == 0). tile_q must be 128 on
@@ -498,11 +566,22 @@ def fused_plain_gmax(
     dim slice of a 12.65 GiB corpus would materialize a copy; the
     BlockSpec index_map just offsets the DMA window) — the corpus-split
     lever that keeps the gmax resident at [Q, NB/split] when HBM is
-    tight (roadmap lever #2)."""
+    tight (roadmap lever #2).
+
+    ``emit_l1`` = f > 0 (f must divide tile_g) additionally returns the
+    first selection-pyramid level — maxima over f consecutive blocks,
+    [Q, n_tiles*tile_g//f] f32 — built in-kernel while the scores are
+    VMEM-resident, and ``nb_valid`` (a STATIC count of valid blocks)
+    masks pad blocks to -inf in both outputs, replacing _select_groups'
+    widest reshape-max and the caller's masking pass over the [Q, NB]
+    array (roadmap lever #1). Returns (gmax, l1) in that mode."""
     Q, D = queries.shape
     N = plain.shape[0]
     NB = N // GROUP
     assert N % (tile_g * GROUP) == 0, (N, tile_g)
+    assert emit_l1 == 0 or tile_g % emit_l1 == 0, (tile_g, emit_l1)
+    assert nb_valid is None or emit_l1 > 0, \
+        "in-kernel pad masking rides the emit_l1 kernel variant"
     total_tiles = NB // tile_g
     if n_tiles is None:
         n_tiles = total_tiles - tile_lo
@@ -514,6 +593,9 @@ def fused_plain_gmax(
     tile_q = min(tile_q, 128)
     need = 2 * (tile_g * GROUP * D * 2 + tile_q * D * 2
                 + tile_g * tile_q * 4) + tile_g * GROUP * tile_q * 4
+    if emit_l1:
+        # g_scr scratch + double-buffered l1 out blocks
+        need += tile_g * tile_q * 4 + 2 * tile_q * (tile_g // emit_l1) * 4
     if need > _SCOPED_VMEM:
         raise ValueError(f"tile_g={tile_g}, tile_q={tile_q} needs "
                          f"{need / 2**20:.1f} MB VMEM")
@@ -521,20 +603,13 @@ def fused_plain_gmax(
     if q_pad:
         queries = jnp.pad(queries, ((0, q_pad), (0, 0)))
     Qp = Q + q_pad
-    gmax = pl.pallas_call(
-        _plain_gmax_kernel,
+    common = dict(
         grid=(Qp // tile_q, n_tiles),
         in_specs=[
             pl.BlockSpec((tile_q, D), lambda qb, t: (qb, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_g * GROUP, D), lambda qb, t: (t + tile_lo, 0),
                          memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile_q, tile_g), lambda qb, t: (qb, t),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Qp, n_tiles * tile_g), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((tile_g * GROUP, tile_q), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -546,6 +621,40 @@ def fused_plain_gmax(
             transcendentals=0,
         ),
         interpret=_interpret_mode(),
+    )
+    if emit_l1:
+        w1 = tile_g // emit_l1
+        gmax, l1t = pl.pallas_call(
+            _make_plain_gmax_l1_kernel(emit_l1, tile_g, tile_lo, nb_valid),
+            out_specs=[
+                pl.BlockSpec((tile_q, tile_g), lambda qb, t: (qb, t),
+                             memory_space=pltpu.VMEM),
+                # transposed: query-major l1 blocks would be 32 lanes wide
+                # (< the 128-lane Mosaic output-block minimum)
+                pl.BlockSpec((w1, tile_q), lambda qb, t: (t, qb),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Qp, n_tiles * tile_g), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles * w1, Qp), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tile_g * GROUP, tile_q), jnp.float32),
+                pltpu.VMEM((tile_g, tile_q), jnp.float32),
+            ],
+            **common,
+        )(queries, plain)
+        l1 = jnp.swapaxes(l1t, 0, 1)
+        return (gmax[:Q], l1[:Q]) if q_pad else (gmax, l1)
+    gmax = pl.pallas_call(
+        _plain_gmax_kernel,
+        out_specs=pl.BlockSpec((tile_q, tile_g), lambda qb, t: (qb, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Qp, n_tiles * tile_g), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_g * GROUP, tile_q), jnp.float32),
+        ],
+        **common,
     )(queries, plain)
     return gmax[:Q] if q_pad else gmax
 
@@ -705,6 +814,57 @@ def _gather_rescore_kernel(bids_ref, q_ref, p3_ref, out_ref, scratch, sems):
     out_ref[:] = jnp.concatenate(rows, axis=0)
 
 
+def _make_gather_rescore_seg_kernel(cuts):
+    """_gather_rescore_kernel variant over a SEGMENTED corpus: the plain
+    doc-major array is held as ``len(cuts)`` separate HBM buffers (the
+    12.65 GiB single buffer at 8.8M docs can fail to allocate when the
+    tunnel's free HBM is fragmented, while same-total smaller buffers
+    fit), and each block DMA is routed to its segment with a scalar
+    @pl.when guard on the prefetched block id. ``cuts``: static
+    (lo, hi) global padded-block ranges per segment.
+
+    Wait descriptors are issued unconditionally against segment 0 (a
+    Mosaic DMA wait is a semaphore countdown of the descriptor's byte
+    size, not an object handle — the pipelined kernel relies on the same
+    property), so exactly one start and one wait run per slot."""
+    S = len(cuts)
+
+    def kernel(bids_ref, q_ref, *rest):
+        p3_refs, (out_ref, scratch, sems) = rest[:S], rest[S:]
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        kt = scratch.shape[0] // (GROUP * _QT)
+        for qq in range(_QT):
+            for jj in range(kt):
+                row = bids_ref[i * _QT + qq, j * kt + jj]
+                dst = scratch.at[pl.ds((qq * kt + jj) * GROUP, GROUP), :]
+                for s, (lo, hi) in enumerate(cuts):
+
+                    @pl.when(jnp.logical_and(row >= lo, row < hi))
+                    def _start(s=s, lo=lo, row=row, dst=dst, qq=qq):
+                        pltpu.make_async_copy(
+                            p3_refs[s].at[row - lo], dst, sems.at[qq]).start()
+        for qq in range(_QT):
+            for jj in range(kt):
+                pltpu.make_async_copy(
+                    p3_refs[0].at[0],
+                    scratch.at[pl.ds((qq * kt + jj) * GROUP, GROUP), :],
+                    sems.at[qq],
+                ).wait()
+        rows = [
+            jax.lax.dot_general(
+                q_ref[qq:qq + 1, :],
+                scratch[qq * kt * GROUP:(qq + 1) * kt * GROUP, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [1, kt*8]
+            for qq in range(_QT)
+        ]
+        out_ref[:] = jnp.concatenate(rows, axis=0)
+
+    return kernel
+
+
 def _gather_rescore_kernel_pipelined(bids_ref, q_ref, p3_ref, out_ref,
                                      scratch, sems):
     """Software-pipelined variant of _gather_rescore_kernel: scratch is
@@ -782,30 +942,71 @@ def pallas_gather_rescore(
     through multiple DMA queues concurrently with the MXU work of other
     queries, so prefetching a step ahead adds no bandwidth. Default
     False: same speed, half the VMEM scratch (headroom for the fused
-    selection work)."""
+    selection work).
+
+    ``plain`` may be a TUPLE of doc-major segment arrays (see
+    _make_gather_rescore_seg_kernel: fragmentation-tolerant corpus
+    storage); bids stay global padded-block ids and each DMA is routed
+    to its segment in-kernel. Drain mode only."""
     Q, D = queries.shape
-    N = plain.shape[0]
+    segs = plain if isinstance(plain, tuple) else (plain,)
+    N = sum(s.shape[0] for s in segs)
     k = bids.shape[1]
     assert bids.shape[0] == Q and (kt * GROUP) % 128 == 0, (bids.shape, Q, kt)
-    assert N % GROUP == 0, N
+    assert all(s.shape[0] % GROUP == 0 for s in segs), [s.shape for s in segs]
     k_pad = -(-k // kt) * kt
     q_pad = (-Q) % _QT
     bids_pad = jnp.pad(bids, ((0, q_pad), (0, k_pad - k)))  # blk 0; masked below
     if q_pad:
         queries = jnp.pad(queries, ((0, q_pad), (0, 0)))
     Qp = Q + q_pad
-    p3 = plain.reshape(N // GROUP, GROUP, D)  # leading split: layout-free
+    p3 = tuple(s.reshape(s.shape[0] // GROUP, GROUP, D) for s in segs)
     grid = (Qp // _QT, k_pad // kt)
+    if len(segs) > 1:
+        assert not pipeline, "segmented corpus supports the drain kernel only"
+        cuts, lo = [], 0
+        for s in segs:
+            cuts.append((lo, lo + s.shape[0] // GROUP))
+            lo = cuts[-1][1]
+        out = pl.pallas_call(
+            _make_gather_rescore_seg_kernel(tuple(cuts)),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((_QT, D), lambda i, j, bids: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                ] + [pl.BlockSpec(memory_space=pl.ANY)] * len(segs),
+                out_specs=pl.BlockSpec((_QT, kt * GROUP),
+                                       lambda i, j, bids: (i, j),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((_QT * kt * GROUP, D), segs[0].dtype),
+                    pltpu.SemaphoreType.DMA((_QT,)),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((Qp, k_pad * GROUP), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            interpret=_interpret_mode(),
+        )(bids_pad, queries, *p3)
+        out = out[:Q]
+        if k_pad != k:
+            col = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
+            out = jnp.where(col < k * GROUP, out, jnp.finfo(jnp.float32).min)
+        return out, bids_pad[:Q]
+    p3 = p3[0]
     if pipeline:
         kernel = _gather_rescore_kernel_pipelined
         scratch_shapes = [
-            pltpu.VMEM((2, _QT * kt * GROUP, D), plain.dtype),
+            pltpu.VMEM((2, _QT * kt * GROUP, D), segs[0].dtype),
             pltpu.SemaphoreType.DMA((2, _QT)),
         ]
     else:
         kernel = _gather_rescore_kernel
         scratch_shapes = [
-            pltpu.VMEM((_QT * kt * GROUP, D), plain.dtype),
+            pltpu.VMEM((_QT * kt * GROUP, D), segs[0].dtype),
             pltpu.SemaphoreType.DMA((_QT,)),
         ]
     out = pl.pallas_call(
@@ -879,13 +1080,71 @@ def _plain_topk_core(
     segment, so the per-segment selections cover the global top-k.
     An optimization_barrier chains segment s+1's queries on segment s's
     candidates so XLA's buffer liveness lets the big gmax buffer be
-    reused rather than held live for both segments."""
+    reused rather than held live for both segments.
+
+    ``plain`` may instead be a TUPLE of doc-major segment arrays (each a
+    tile_g*GROUP-row multiple): fragmentation-tolerant STORAGE — the
+    segments feed ONE global selection (per-segment gmax concatenated,
+    zero extra selection/rescore work vs a single buffer) and the
+    rescore kernel routes each candidate DMA to its segment. Unlike
+    ``c_split`` this does NOT shrink the [Q, NBp] gmax resident; it
+    exists because a single 12.65 GiB buffer can fail to allocate on a
+    fragmented chip while same-total smaller buffers fit."""
     Q, D = queries.shape
     NB = n_docs // GROUP
-    NBp = plain.shape[0] // GROUP
+    storage_segs = plain if isinstance(plain, tuple) else None
+    NBp = (sum(s.shape[0] for s in storage_segs) if storage_segs
+           else plain.shape[0]) // GROUP
     tail = n_docs - NB * GROUP
     total_tiles = NBp // tile_g
     neg_inf = jnp.finfo(jnp.float32).min
+
+    if storage_segs is not None:
+        assert c_split == 1, \
+            "segmented storage does global selection; c_split needs a " \
+            "single-buffer corpus"
+        fanouts = _plan_pyramid(NBp, k, Q)
+        fused = bool(fanouts) and tile_g % fanouts[0] == 0
+        g_parts, l1_parts = [], []
+        blk_lo = 0
+        for s_arr in storage_segs:
+            assert s_arr.shape[0] % (tile_g * GROUP) == 0, s_arr.shape
+            nb_here = s_arr.shape[0] // GROUP
+            valid_here = min(max(NB - blk_lo, 0), nb_here)
+            if fused:
+                g, l1p = fused_plain_gmax(
+                    queries, s_arr, tile_g, tile_q, emit_l1=fanouts[0],
+                    nb_valid=valid_here if valid_here < nb_here else None)
+                l1_parts.append(l1p)
+            else:
+                g = fused_plain_gmax(queries, s_arr, tile_g, tile_q)
+                if valid_here < nb_here:
+                    col = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+                    g = jnp.where(col < valid_here, g, neg_inf)
+            g_parts.append(g)
+            blk_lo += nb_here
+        gmax = jnp.concatenate(g_parts, axis=1) if len(g_parts) > 1 \
+            else g_parts[0]
+        l1 = None
+        if fused:
+            l1 = jnp.concatenate(l1_parts, axis=1) if len(l1_parts) > 1 \
+                else l1_parts[0]
+        bid = _select_groups(gmax, k, fanout=fanouts, l1=l1)
+        cand, bid_pad = pallas_gather_rescore(queries, storage_segs, bid)
+        k_pad = bid_pad.shape[1]
+        ids = (bid_pad[:, :, None] * GROUP
+               + jnp.arange(GROUP, dtype=jnp.int32)).reshape(Q, k_pad * GROUP)
+        if NBp > NB:
+            cand = jnp.where(ids < NB * GROUP, cand, neg_inf)
+        if tail:
+            tail_scores = jnp.dot(queries, tail_rows.T,
+                                  preferred_element_type=jnp.float32)
+            tail_ids = NB * GROUP + jnp.arange(tail, dtype=jnp.int32)
+            cand = jnp.concatenate([cand, tail_scores], axis=1)
+            ids = jnp.concatenate(
+                [ids, jnp.broadcast_to(tail_ids, (Q, tail))], axis=1)
+        s, pos = jax.lax.top_k(cand, k)
+        return s, jnp.take_along_axis(ids, pos, axis=1)
 
     if c_split > 1 and (total_tiles < c_split
                         or (NBp // c_split) // 2 <= k):
@@ -901,13 +1160,24 @@ def _plain_topk_core(
     for s in range(c_split):
         nt = seg_tiles[s]
         blk_lo = tile_lo * tile_g
-        gmax = fused_plain_gmax(q_seg, plain, tile_g, tile_q,
-                                tile_lo=tile_lo, n_tiles=nt)
-        if blk_lo + nt * tile_g > NB:  # segment contains pad blocks
-            col = jax.lax.broadcasted_iota(jnp.int32, gmax.shape, 1)
-            gmax = jnp.where(blk_lo + col < NB, gmax, neg_inf)
+        has_pad = blk_lo + nt * tile_g > NB  # segment contains pad blocks
         k_seg = min(k, nt * tile_g)
-        bid = _select_groups(gmax, k_seg) + blk_lo  # global block ids
+        fanouts = _plan_pyramid(nt * tile_g, k_seg, Q)
+        if fanouts and tile_g % fanouts[0] == 0:
+            # pyramid selection ahead: the gmax kernel emits level 1 for
+            # free (and masks pad blocks in-kernel), skipping the widest
+            # XLA reshape-max + masking passes over [Q, NB]
+            gmax, l1 = fused_plain_gmax(
+                q_seg, plain, tile_g, tile_q, tile_lo=tile_lo, n_tiles=nt,
+                emit_l1=fanouts[0], nb_valid=NB if has_pad else None)
+            bid = _select_groups(gmax, k_seg, fanout=fanouts, l1=l1) + blk_lo
+        else:
+            gmax = fused_plain_gmax(q_seg, plain, tile_g, tile_q,
+                                    tile_lo=tile_lo, n_tiles=nt)
+            if has_pad:
+                col = jax.lax.broadcasted_iota(jnp.int32, gmax.shape, 1)
+                gmax = jnp.where(blk_lo + col < NB, gmax, neg_inf)
+            bid = _select_groups(gmax, k_seg, fanout=fanouts) + blk_lo
         cand, bid_pad = pallas_gather_rescore(q_seg, plain, bid,
                                               pipeline=pipeline)
         k_pad = bid_pad.shape[1]
@@ -955,8 +1225,10 @@ def pallas_plain_topk_prepared(
     if NB // 2 <= k:
         from .mips import exact_search
 
-        corpus = jnp.concatenate([prep.plain[: NB * GROUP], prep.tail]) \
-            if prep.tail.shape[0] else prep.plain[: NB * GROUP]
+        body = jnp.concatenate(prep.plain) if isinstance(prep.plain, tuple) \
+            else prep.plain
+        corpus = jnp.concatenate([body[: NB * GROUP], prep.tail]) \
+            if prep.tail.shape[0] else body[: NB * GROUP]
         return exact_search(queries, corpus, k=k)
     return _plain_topk_core(queries, prep.plain, prep.tail, prep.n_docs, k,
                             tile_g, tile_q, pipeline, c_split)

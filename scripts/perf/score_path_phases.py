@@ -40,6 +40,10 @@ def main():
     N = int(sys.argv[2]) if len(sys.argv) > 2 else 2_210_456
     Q = int(sys.argv[3]) if len(sys.argv) > 3 else 512
     K = int(sys.argv[4]) if len(sys.argv) > 4 else 1000
+    # sel only: force a finest-first fanout plan, e.g. "8,8" (default:
+    # whatever _plan_pyramid picks — label says which)
+    plan = tuple(int(f) for f in sys.argv[5].split(",")) \
+        if len(sys.argv) > 5 else None
     D = 768
     GROUP = 8
 
@@ -65,26 +69,61 @@ def main():
         plain = jr.normal(jr.PRNGKey(0), (NBp * GROUP, D), jnp.bfloat16)
         q = jr.normal(jr.PRNGKey(1), (Q, D), jnp.bfloat16)
         timed("a2 fused_scores", lambda: fused_scores(q, plain, tile=2048))
-    elif phase == "sel":
-        # loop-amortized (27 ms/dispatch would swamp a ~6 ms phase)
-        from openmatch_tpu.ops.mips import _select_groups
+    elif phase in ("a3", "a3l1"):
+        # plain-corpus gmax kernel (the production phase A), loop-
+        # amortized; a3l1 = with fused level-1 emission + in-kernel
+        # pad masking (emit_l1=8, nb_valid set)
+        from openmatch_tpu.ops.pallas_mips import fused_plain_gmax
+
+        plain = jr.normal(jr.PRNGKey(0), (NBp * GROUP, D), jnp.bfloat16)
+        q = jr.normal(jr.PRNGKey(1), (Q, D), jnp.bfloat16)
+        emit = 8 if phase == "a3l1" else 0
+        nbv = NB if phase == "a3l1" else None
+        iters = 8
+
+        @jax.jit
+        def loop(q, plain):
+            def body(i, carry):
+                out = fused_plain_gmax(q + carry, plain, emit_l1=emit,
+                                       nb_valid=nbv)
+                g = out[0] if emit else out
+                return carry + g[0, 0].astype(jnp.bfloat16) * jnp.bfloat16(1e-30)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.bfloat16(0.0))
+
+        np.asarray(loop(q, plain))
+        t0 = time.time()
+        np.asarray(loop(q, plain))
+        dt = (time.time() - t0) / iters
+        print(f"{phase} fused_plain_gmax(emit_l1={emit}): {dt * 1000:.1f} ms",
+              flush=True)
+    elif phase in ("sel", "sell1"):
+        # loop-amortized (27 ms/dispatch would swamp a ~6 ms phase);
+        # sell1 = selection fed a PRECOMPUTED level-1 (what the fused
+        # emit_l1 kernel hands it — skips the widest reshape-max here)
+        from openmatch_tpu.ops.mips import _plan_pyramid, _select_groups
 
         g = jr.normal(jr.PRNGKey(0), (Q, NBp), jnp.float32)
         iters = 16
+        if plan is None:
+            plan = _plan_pyramid(NBp, K, Q)
+        with_l1 = phase == "sell1"
+        l1_in = (g.reshape(Q, NBp // plan[0], plan[0]).max(-1)
+                 if with_l1 else None)
 
         @jax.jit
-        def loop(g):
+        def loop(g, l1_in):
             def body(i, carry):
-                ids = _select_groups(g + carry, K)
+                ids = _select_groups(g + carry, K, fanout=plan, l1=l1_in)
                 return carry + (ids[0, 0] % 2).astype(jnp.float32) * 1e-30
 
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
-        np.asarray(loop(g))
+        np.asarray(loop(g, l1_in))
         t0 = time.time()
-        np.asarray(loop(g))
-        print(f"sel _select_groups: {(time.time() - t0) / iters * 1000:.1f} ms",
-              flush=True)
+        np.asarray(loop(g, l1_in))
+        print(f"{phase} _select_groups plan={plan}: "
+              f"{(time.time() - t0) / iters * 1000:.1f} ms", flush=True)
     elif phase == "cand":
         from openmatch_tpu.ops.mips import gather_row_slices
 

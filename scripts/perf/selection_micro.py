@@ -24,6 +24,9 @@ def main():
     W = int(sys.argv[2])
     Q = int(sys.argv[3]) if len(sys.argv) > 3 else 128
     K = int(sys.argv[4]) if len(sys.argv) > 4 else 1000
+    # gather only: slab width (the expansion fanout f — descriptor count
+    # is [Q, K] regardless, but bigger slabs lower differently)
+    F = int(sys.argv[5]) if len(sys.argv) > 5 else 8
     ITERS = 32
 
     sys.path.insert(0, "/root/repo")
@@ -34,8 +37,9 @@ def main():
     import jax.numpy as jnp
     import jax.random as jr
 
+    W = -(-W // F) * F  # gather contract: W % slab == 0
     x = jr.normal(jr.PRNGKey(0), (Q, W), jnp.float32)
-    idx = jr.randint(jr.PRNGKey(1), (Q, K), 0, max(W // 8, 1), jnp.int32)
+    idx = jr.randint(jr.PRNGKey(1), (Q, K), 0, max(W // F, 1), jnp.int32)
 
     if prim == "topk":
         def body_fn(v):
@@ -45,7 +49,7 @@ def main():
         from openmatch_tpu.ops.mips import gather_row_slices
 
         def body_fn(v):
-            g = gather_row_slices(v, idx * 8, 8)
+            g = gather_row_slices(v, idx * F, F)
             return g[0, 0, 0]
     elif prim == "idfix":
         def body_fn(v):
@@ -65,7 +69,8 @@ def main():
     t0 = time.time()
     np.asarray(loop(x))
     dt = (time.time() - t0) / ITERS
-    print(f"{prim} W={W} Q={Q} K={K}: {dt * 1e3:.2f} ms", flush=True)
+    f_note = f" F={F}" if prim == "gather" else ""
+    print(f"{prim} W={W} Q={Q} K={K}{f_note}: {dt * 1e3:.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

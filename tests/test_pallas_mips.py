@@ -152,6 +152,48 @@ class TestPlainGmaxKernel:
         ref = (np.asarray(q) @ np.asarray(plain).T).reshape(Q, N // 8, 8).max(-1)
         np.testing.assert_allclose(np.asarray(g), ref, rtol=1e-5, atol=1e-5)
 
+    def test_emit_l1_and_in_kernel_masking(self, interpret_pallas):
+        """emit_l1 returns the fanout-f1 level-1 maxima and nb_valid masks
+        pad blocks to -inf in BOTH outputs — pad rows are primed to
+        dominate every real score if the mask were missing."""
+        from openmatch_tpu.ops.pallas_mips import fused_plain_gmax
+
+        rng = np.random.RandomState(7)
+        N, D, Q, f1 = 2048 * 2, 128, 8, 8  # two tiles at tile_g=256
+        nb_valid = 500  # blocks 500..511 are pad (mid-tile boundary)
+        plain = -np.abs(rng.randn(N, D)).astype(np.float32)
+        plain[nb_valid * 8:] = 5.0  # unmasked pads would win everywhere
+        q = jnp.array(np.abs(rng.randn(Q, D)).astype(np.float32))
+        g, l1 = fused_plain_gmax(q, jnp.array(plain), tile_g=256, tile_q=8,
+                                 emit_l1=f1, nb_valid=nb_valid)
+        ref = (np.asarray(q) @ plain.T).reshape(Q, N // 8, 8).max(-1)
+        ref[:, nb_valid:] = np.finfo(np.float32).min
+        ref_l1 = ref.reshape(Q, N // 8 // f1, f1).max(-1)
+        np.testing.assert_allclose(np.asarray(g), ref, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(l1), ref_l1, rtol=1e-5,
+                                   atol=1e-5)
+
+
+class TestSelectGroupsL1:
+    def test_precomputed_l1_matches(self):
+        """_select_groups with a precomputed level-1 array selects the
+        same group-maxima multiset as the self-built pyramid."""
+        from openmatch_tpu.ops.pallas_mips import _select_groups
+
+        rng = np.random.RandomState(9)
+        W, k, f1 = 4096, 16, 8
+        gmax = rng.randn(3, W).astype(np.float32)
+        l1 = gmax.reshape(3, W // f1, f1).max(-1)
+        a = np.asarray(_select_groups(jnp.asarray(gmax), k, fanout=(8, 8)))
+        b = np.asarray(_select_groups(jnp.asarray(gmax), k, fanout=(8, 8),
+                                      l1=jnp.asarray(l1)))
+        g = gmax
+        for r in range(3):
+            np.testing.assert_array_equal(np.sort(g[r, a[r]]),
+                                          np.sort(g[r, b[r]]))
+            want = np.sort(g[r])[::-1][:k]
+            np.testing.assert_array_equal(np.sort(g[r, b[r]])[::-1], want)
+
 
 class TestBlockTopk:
     @pytest.mark.parametrize("N,k", [(70000, 50), (66003, 64), (131072, 9)])
@@ -325,10 +367,10 @@ class TestBlockTopk:
             pallas_plain_topk_prepared, prepare_plain_corpus)
 
         rng = np.random.RandomState(8)
-        N, k = 70000, 50
+        N, k = 34821, 50  # ragged tail of 5; 34 tiles at tile_g=128
         q = -np.abs(rng.randn(8, 128)).astype(np.float32)
         c = np.abs(rng.randn(N, 128)).astype(np.float32)
-        c[69999] *= 10  # top doc in the ragged tail
+        c[N - 1] *= 10  # top doc in the ragged tail
         prep = prepare_plain_corpus(jnp.asarray(c), tile_g=128)
         s, i = pallas_plain_topk_prepared(
             jnp.asarray(q), prep, k=k, tile_g=128, tile_q=8, c_split=c_split)
@@ -338,6 +380,76 @@ class TestBlockTopk:
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i1))
         np.testing.assert_allclose(np.asarray(s), np.asarray(s1),
                                    rtol=1e-6, atol=1e-6)
+
+    def test_plain_path_fused_l1_branch_exact(self, interpret_pallas):
+        """Force a pyramid plan so the fused emit_l1 kernel branch runs
+        end-to-end (the planner returns () at test-sized widths), with
+        pad blocks + all-negative real scores (pads must not leak through
+        the in-kernel mask at either pyramid level)."""
+        from openmatch_tpu.ops import pallas_mips
+        from openmatch_tpu.ops.pallas_mips import (
+            pallas_plain_topk_prepared, prepare_plain_corpus)
+
+        rng = np.random.RandomState(11)
+        N, k = 33000, 40  # NB=4125, NBp=4224: 99 pad blocks
+        q = -np.abs(rng.randn(8, 128)).astype(np.float32)
+        c = np.abs(rng.randn(N, 128)).astype(np.float32)
+        prep = prepare_plain_corpus(jnp.asarray(c), tile_g=128)
+        with mock.patch.object(pallas_mips, "_plan_pyramid",
+                               lambda W, k, q: (8, 8)):
+            s, i = pallas_plain_topk_prepared(
+                jnp.asarray(q), prep, k=k, tile_g=128, tile_q=8)
+        np.testing.assert_array_equal(np.asarray(i), brute(q, c, k))
+        assert (np.diff(np.asarray(s), axis=1) <= 1e-6).all()
+
+    @pytest.mark.parametrize("n_segs", [2, 3])
+    def test_plain_path_segmented_storage_exact(self, interpret_pallas,
+                                                n_segs):
+        """Fragmentation-tolerant storage: the corpus held as n_segs
+        separate arrays must search identically to the single buffer —
+        per-segment gmax into one global selection, rescore DMAs routed
+        by block id, pads + ragged tail + all-negative scores."""
+        from openmatch_tpu.ops.pallas_mips import (
+            pallas_plain_topk_prepared, prepare_plain_corpus)
+
+        rng = np.random.RandomState(12)
+        N, k = 34821, 50  # ragged tail of 5
+        q = -np.abs(rng.randn(8, 128)).astype(np.float32)
+        c = np.abs(rng.randn(N, 128)).astype(np.float32)
+        c[N - 1] *= 10  # top doc in the ragged tail
+        c[N - 9] *= 10  # top doc in the last segment's final full block
+        prep1 = prepare_plain_corpus(jnp.asarray(c), tile_g=128)
+        preps = prepare_plain_corpus(jnp.asarray(c), tile_g=128,
+                                     n_segs=n_segs)
+        assert isinstance(preps.plain, tuple) and len(preps.plain) == n_segs
+        s1, i1 = pallas_plain_topk_prepared(
+            jnp.asarray(q), prep1, k=k, tile_g=128, tile_q=8)
+        s2, i2 = pallas_plain_topk_prepared(
+            jnp.asarray(q), preps, k=k, tile_g=128, tile_q=8)
+        np.testing.assert_array_equal(np.asarray(i2), brute(q, c, k))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_plain_path_segmented_fused_l1_exact(self, interpret_pallas):
+        """Segmented storage with a FORCED pyramid plan: the fused emit_l1
+        branch must concatenate per-segment level-1 pieces correctly and
+        the segment-routed rescore must stay exact."""
+        from openmatch_tpu.ops import pallas_mips
+        from openmatch_tpu.ops.pallas_mips import (
+            pallas_plain_topk_prepared, prepare_plain_corpus)
+
+        rng = np.random.RandomState(13)
+        N, k = 33000, 40
+        q = -np.abs(rng.randn(8, 128)).astype(np.float32)
+        c = np.abs(rng.randn(N, 128)).astype(np.float32)
+        prep = prepare_plain_corpus(jnp.asarray(c), tile_g=128, n_segs=2)
+        with mock.patch.object(pallas_mips, "_plan_pyramid",
+                               lambda W, k, q: (8, 8)):
+            s, i = pallas_plain_topk_prepared(
+                jnp.asarray(q), prep, k=k, tile_g=128, tile_q=8)
+        np.testing.assert_array_equal(np.asarray(i), brute(q, c, k))
+        assert (np.diff(np.asarray(s), axis=1) <= 1e-6).all()
 
     def test_plan_pyramid(self):
         from openmatch_tpu.ops.mips import _plan_pyramid
