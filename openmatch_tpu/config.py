@@ -148,6 +148,10 @@ class InferenceArguments:
                 "the mesh, candidate all-gather merge) | queries (corpus "
                 "replicated per chip, query batch split, no collectives "
                 "- fastest when the index fits each chip's HBM)"})
+    search_n_segs: int = field(default=1, metadata={
+        "help": "hold the single-chip pallas index as this many HBM "
+                "segment arrays (same search cost; use >1 when one "
+                "index-sized allocation fails on a fragmented chip)"})
     max_inmem_docs: int = field(
         default=4_000_000,
         metadata={"help": "docs per partition for successive (memory-bounded) retrieval"},

@@ -375,6 +375,7 @@ def build_service(model_args, data_args, infer_args, max_batch: int) -> Retrieva
         mesh=mesh,
         method=getattr(infer_args, "search_method", "auto"),
         partition=getattr(infer_args, "search_partition", "docs"),
+        n_segs=getattr(infer_args, "search_n_segs", 1),
     )
     return RetrievalService(
         model, params, tokenizer, searcher, retriever.doc_ids,

@@ -585,12 +585,19 @@ class Searcher:
         chunk_size: int = 0,
         method: str = "auto",
         partition: str = "docs",
+        n_segs: int = 1,
     ):
         """``partition`` (with a mesh): "docs" row-shards the corpus over
         the axis (sharded_search, candidate all_gather merge — for corpora
         larger than one chip's HBM); "queries" replicates the corpus and
         splits query batches (query_sharded_search, zero collectives — the
-        fast shape when the corpus fits every chip)."""
+        fast shape when the corpus fits every chip).
+
+        ``n_segs`` (single-chip pallas path): hold the prepared corpus as
+        that many tile-aligned HBM segment arrays — identical search cost
+        (prepare_plain_corpus / _plain_topk_core), but no single
+        allocation exceeds ~1/n_segs of the index, for chips whose free
+        HBM is fragmented."""
         if method == "auto":
             # fused Pallas kernels on real hardware; the scan path on CPU
             # (interpret-mode Pallas would be pathologically slow)
@@ -649,7 +656,7 @@ class Searcher:
 
             self.corpus = jnp.asarray(corpus)
             self.n_docs = corpus.shape[0]
-            self._prep = prepare_plain_corpus(self.corpus)
+            self._prep = prepare_plain_corpus(self.corpus, n_segs=n_segs)
             self.corpus = None  # the prepared layout IS the index
         else:
             self.corpus = jnp.asarray(corpus)

@@ -118,6 +118,7 @@ class Retriever:
             # batches (no collectives) — the fast shape when the corpus
             # fits each chip's HBM; "docs" row-shards the corpus
             partition=getattr(self.args, "search_partition", "docs"),
+            n_segs=getattr(self.args, "search_n_segs", 1),
         )
         scores, indices = searcher.search(jnp.asarray(q_embeddings, search_dtype))
         return _to_result(np.asarray(scores), np.asarray(indices), qids, self.doc_ids)

@@ -85,6 +85,20 @@ class TestShardedSearch:
         es, ei = brute_topk(q, c, 10)
         np.testing.assert_array_equal(np.asarray(i), ei)
 
+    def test_searcher_segmented_pallas_index(self):
+        """n_segs holds the prepared pallas index as segment arrays; the
+        search must be identical to the single-buffer index. Needs >= 2
+        corpus tiles at the serving tile_g=256 (NB >= 257)."""
+        rng = np.random.RandomState(4)
+        q = rng.randn(7, 16).astype(np.float32)
+        c = rng.randn(2061, 16).astype(np.float32)  # NB=257, tail of 5
+        searcher = Searcher(c, k=10, method="pallas", n_segs=2)
+        assert isinstance(searcher._prep.plain, tuple) \
+            and len(searcher._prep.plain) == 2
+        s, i = searcher.search(q)
+        es, ei = brute_topk(q, c, 10)
+        np.testing.assert_array_equal(np.asarray(i), ei)
+
 
 class TestGatherRowSlices:
     def test_matches_numpy_slicing(self):
