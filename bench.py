@@ -132,7 +132,7 @@ def build_block_corpus(jax, jnp, n_docs, seed=0, n_segs=1):
     return BlockCorpus(cb=None, tail=tail_rows, n_docs=n_docs, plain=plain)
 
 
-def time_slice(jax, jnp, n_docs, iters=8, c_split=1):
+def time_slice(jax, jnp, n_docs, iters=8, n_segs=1):
     """Measured seconds per Q_CHIP-query batch over n_docs on this chip.
 
     The batch runs ``iters`` times inside ONE dispatched on-device
@@ -143,7 +143,7 @@ def time_slice(jax, jnp, n_docs, iters=8, c_split=1):
     from openmatch_tpu.ops.pallas_mips import (BlockCorpus,
                                                pallas_plain_topk_prepared)
 
-    prep = build_block_corpus(jax, jnp, n_docs)
+    prep = build_block_corpus(jax, jnp, n_docs, n_segs=n_segs)
     queries = jax.random.normal(jax.random.PRNGKey(1), (Q_CHIP, D), jnp.bfloat16)
 
     @jax.jit
@@ -154,8 +154,7 @@ def time_slice(jax, jnp, n_docs, iters=8, c_split=1):
         p = BlockCorpus(cb=None, tail=tail_rows, n_docs=n_docs, plain=plain)
 
         def body(i, carry):
-            s, _ = pallas_plain_topk_prepared(qs + carry, p, k=K,
-                                              c_split=c_split)
+            s, _ = pallas_plain_topk_prepared(qs + carry, p, k=K)
             return carry + s[0, 0].astype(jnp.bfloat16) * jnp.bfloat16(1e-30)
 
         return jax.lax.fori_loop(0, iters, body, jnp.bfloat16(0.0))
@@ -178,7 +177,7 @@ def run_rung(n_docs: int):
     import jax
     import jax.numpy as jnp
 
-    t = time_slice(jax, jnp, n_docs, c_split=C_SPLIT.get(n_docs, 1))
+    t = time_slice(jax, jnp, n_docs, n_segs=N_SEGS.get(n_docs, 1))
     print(f"RUNG {n_docs} {t:.6f}", flush=True)
 
 

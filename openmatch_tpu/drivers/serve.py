@@ -202,8 +202,16 @@ class RerankService(_QueueService):
         import jax
         import jax.numpy as jnp
 
+        from ..retriever.reranker import _model_max_positions, device_pair_len
+
         self.tokenizer = tokenizer
         self.max_len = q_max_len + p_max_len + 2
+        # pad pairs to a 128-lane multiple on device (measured +10%
+        # cross-encoder throughput vs the raw pair length, +25% vs
+        # rounding to 64; reranker.py device_pair_len), capped at the
+        # encoder's position capacity
+        self.device_len = device_pair_len(self.max_len,
+                                          _model_max_positions(model))
         self.max_batch = max_batch
 
         @jax.jit
@@ -237,7 +245,7 @@ class RerankService(_QueueService):
             pairs = [encode_pair(self.tokenizer, q, t, self.max_len)
                      for q, t in chunk]
             pairs = pairs + [pairs[-1]] * (self.max_batch - len(chunk))
-            batch = pad_ids([p[0] for p in pairs], self.max_len, pad_id)
+            batch = pad_ids([p[0] for p in pairs], self.device_len, pad_id)
             segs = np.zeros_like(batch["input_ids"])
             for i, (_, s) in enumerate(pairs):
                 s = s[: self.max_len]

@@ -31,6 +31,32 @@ logger = logging.getLogger(__name__)
 RankResult = Dict[str, Dict[str, float]]
 
 
+def device_pair_len(max_len: int, max_positions: Optional[int] = None) -> int:
+    """DEVICE pad length for cross-encoder pairs: ``max_len`` rounded up
+    to a 128-lane multiple. A [*, S] activation with S % 128 != 0 pays
+    partial-tile waste in every matmul; measured on v5e (BERT-base,
+    B=512, rerank_bench.py): S=192 scores a batch in 297 ms while S=256
+    — MORE tokens — takes 238 ms. Tokenization still truncates at
+    ``max_len``; only the pad target widens (pad positions are masked,
+    scores unchanged).
+
+    ``max_positions`` caps the widening at the encoder's absolute
+    position table (BERT): position ids beyond it gather NaN rows
+    (flax Embed fill mode) that poison every attention row through the
+    additive mask. If the aligned target does not fit, the raw length is
+    kept. T5 (relative positions) has no cap."""
+    n = -(-max_len // 128) * 128
+    if max_positions is not None and n > max_positions:
+        return max_len
+    return n
+
+
+def _model_max_positions(model) -> Optional[int]:
+    """Absolute-position capacity of an RRModel's encoder, or None when
+    positions are unbounded (T5 relative bias)."""
+    return getattr(model.encoder_config, "max_position_embeddings", None)
+
+
 def encode_pair(tokenizer, qry, doc, max_len: int):
     """(input_ids, token_type_ids) for a (query, doc) pair
     (reference reranker.py:23-29 + BERT segment semantics)."""
@@ -66,6 +92,8 @@ class Reranker:
         self.batch_size = inference_args.per_device_eval_batch_size * (
             mesh.shape[axis] if mesh is not None else 1)
         self.max_len = data_args.q_max_len + data_args.p_max_len + 2
+        self.device_len = device_pair_len(self.max_len,
+                                          _model_max_positions(model))
 
         @jax.jit
         def _score(params, input_ids, attention_mask, token_type_ids):
@@ -128,7 +156,8 @@ class Reranker:
 
         def collate(features):
             keys = [(f["qid"], f["did"]) for f in features]
-            batch = pad_ids([f["input_ids"] for f in features], self.max_len, pad_id)
+            batch = pad_ids([f["input_ids"] for f in features],
+                            self.device_len, pad_id)
             segs = np.zeros_like(batch["input_ids"])
             for i, f in enumerate(features):
                 s = f["token_type_ids"][: self.max_len]

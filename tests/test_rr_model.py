@@ -46,6 +46,30 @@ class TestBertReranker:
         s = jnp.array([[1.5], [2.5]])
         np.testing.assert_allclose(np.asarray(self.model.relevance_logprob(s)), [1.5, 2.5])
 
+    def test_pad_extension_invariance(self):
+        """Widening the pad target (device_pair_len rounds the pair
+        length up to a 128 multiple for MXU tile alignment) must not
+        change scores: pad positions are mask-excluded."""
+        from openmatch_tpu.retriever.reranker import device_pair_len
+
+        assert device_pair_len(162) == 256
+        assert device_pair_len(128) == 128
+        assert device_pair_len(129) == 256
+        # widening is capped at the encoder's absolute-position capacity
+        # (position ids past the table gather NaN fill rows)
+        assert device_pair_len(162, max_positions=512) == 256
+        assert device_pair_len(162, max_positions=192) == 162
+        assert device_pair_len(16, max_positions=32) == 16
+        b = _batch(s=12)
+        s0 = self.model.score(self.params, **b)
+        wide = {
+            "input_ids": jnp.pad(b["input_ids"], ((0, 0), (0, 20))),
+            "attention_mask": jnp.pad(b["attention_mask"], ((0, 0), (0, 20))),
+        }
+        s1 = self.model.score(self.params, **wide)
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                                   rtol=1e-5, atol=1e-6)
+
     def test_save_load(self, tmp_path):
         batch = _batch(3)
         before = np.asarray(self.model.score(self.params, **batch))
