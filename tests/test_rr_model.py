@@ -126,3 +126,56 @@ def test_build_from_hf_dir(tmp_path):
     assert rr.loss_fn_str == "mr" and rr.margin == 0.5
     s = rr.score(params, **_batch())
     assert s.shape == (4, 1)
+
+
+class TestLengthBucketedRerank:
+    """Bucketed batching (Reranker.bucket_lens) must be invisible in the
+    scores: each pair lands in the smallest 128-aligned graph that fits
+    it, and results equal per-pair direct scoring at the raw length."""
+
+    def test_mixed_length_run_matches_direct(self, tmp_path):
+        from transformers import BertTokenizerFast
+
+        from openmatch_tpu.config import DataArguments, InferenceArguments
+        from openmatch_tpu.retriever.reranker import Reranker, encode_pair
+
+        words = [f"w{i}" for i in range(16)]
+        vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + words
+        (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+        tok = BertTokenizerFast(vocab_file=str(tmp_path / "vocab.txt"))
+
+        cfg = BertConfig(
+            vocab_size=32, hidden_size=16, num_hidden_layers=1,
+            num_attention_heads=2, intermediate_size=32,
+            max_position_embeddings=512, add_pooler=False,
+        )
+        model = RRModel(encoder_config=cfg, head_in_dim=16)
+        params = model.init_params(jax.random.PRNGKey(0))
+
+        data_args = DataArguments(q_max_len=62, p_max_len=190,
+                                  doc_template="<text>")
+        infer_args = InferenceArguments(per_device_eval_batch_size=2)
+        rr = Reranker(model, params, tok, data_args, infer_args)
+        assert rr.device_len == 256 and rr.bucket_lens == [128, 256]
+
+        rng = np.random.RandomState(3)
+        queries = {"q0": {"text": "w0 w1 w2"}}
+        corpus, run = {}, {"q0": {}}
+        for i, n_words in enumerate([5, 200, 8, 150, 30]):  # mixed buckets
+            text = " ".join(words[rng.randint(0, 16)] for _ in range(n_words))
+            corpus[f"d{i}"] = {"text": text}
+            run["q0"][f"d{i}"] = float(10 - i)
+
+        result = rr.rerank(queries, corpus, run)
+        assert set(result["q0"]) == set(run["q0"])
+        for did, doc in corpus.items():
+            ids, segs = encode_pair(tok, queries["q0"]["text"], doc["text"],
+                                    rr.max_len)
+            direct = model.relevance_logprob(model.score(
+                params,
+                jnp.asarray([ids], jnp.int32),
+                jnp.ones((1, len(ids)), jnp.int32),
+                jnp.asarray([list(segs)], jnp.int32),
+            ))
+            assert result["q0"][did] == pytest.approx(
+                float(np.asarray(direct)[0]), rel=1e-4, abs=1e-5)
