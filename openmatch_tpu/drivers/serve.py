@@ -245,7 +245,13 @@ class RerankService(_QueueService):
             pairs = [encode_pair(self.tokenizer, q, t, self.max_len)
                      for q, t in chunk]
             pairs = pairs + [pairs[-1]] * (self.max_batch - len(chunk))
-            batch = pad_ids([p[0] for p in pairs], self.device_len, pad_id)
+            # smallest 128-aligned length that fits the chunk (one compiled
+            # graph per bucket; short chunks score ~2x faster at S=128)
+            longest = max(len(p[0]) for p in pairs)
+            pad_len = min(self.device_len,
+                          max(-(-longest // 128) * 128, 128)) \
+                if self.device_len % 128 == 0 else self.device_len
+            batch = pad_ids([p[0] for p in pairs], pad_len, pad_id)
             segs = np.zeros_like(batch["input_ids"])
             for i, (_, s) in enumerate(pairs):
                 s = s[: self.max_len]

@@ -343,3 +343,47 @@ class TestHTTP:
                 return resp.status, json.loads(resp.read())
         except urllib.error.HTTPError as e:
             return e.code, json.loads(e.read())
+
+
+class TestRerankServiceBuckets:
+    """Chunk-level length bucketing in RerankService._score_pairs: a
+    short chunk dispatches at S=128, a long one at 256, and scores match
+    direct scoring at the raw pair length either way."""
+
+    @pytest.fixture(scope="class")
+    def wide_service(self, tmp_path_factory):
+        from transformers import BertTokenizerFast
+
+        from openmatch_tpu.models.rr_model import RRModel
+
+        d = tmp_path_factory.mktemp("rr_tok_wide")
+        words = [f"w{i}" for i in range(8)]
+        vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + words
+        (d / "vocab.txt").write_text("\n".join(vocab))
+        tokenizer = BertTokenizerFast(vocab_file=str(d / "vocab.txt"))
+
+        cfg = BertConfig(vocab_size=16, hidden_size=16, num_hidden_layers=1,
+                         num_attention_heads=2, intermediate_size=32,
+                         max_position_embeddings=512, add_pooler=False)
+        model = RRModel(encoder_config=cfg, head_in_dim=16)
+        params = model.init_params(jax.random.PRNGKey(0))
+        svc = RerankService(model, params, tokenizer, q_max_len=62,
+                            p_max_len=190, max_batch=4)
+        yield svc, model, params
+
+    def test_mixed_chunks_match_direct(self, wide_service):
+        from openmatch_tpu.retriever.reranker import encode_pair
+
+        svc, model, params = wide_service
+        assert svc.device_len == 256
+        docs = [{"id": "short", "text": "w0 w1"},
+                {"id": "long", "text": " ".join(f"w{i % 8}" for i in range(180))}]
+        results = svc.rerank("w0 w2", docs)
+        by_id = {r["id"]: r["score"] for r in results}
+        for d in docs:
+            ids, segs = encode_pair(svc.tokenizer, "w0 w2", d["text"], svc.max_len)
+            direct = float(np.asarray(svc._score(
+                params, jnp.asarray([ids]),
+                jnp.ones((1, len(ids)), jnp.int32),
+                jnp.asarray([list(segs)])))[0])
+            assert by_id[d["id"]] == pytest.approx(direct, rel=1e-4, abs=1e-5)
