@@ -63,9 +63,19 @@ Q_GLOBAL, Q_CHIP, K = 512, 128, 1000
 # tunnel on the first run; the persistent cache makes reruns cheap). The
 # 6.63M rung (9.5 GiB) narrows the slope extrapolation to 1.33x when the
 # full 12.7 GiB corpus does not fit the chip's currently-usable HBM.
-LADDER = (276_306, 1_105_227, 2_210_456, 4_420_911, 6_631_367, N_FULL)
-# corpus STORAGE segments per rung (fragmentation lever; 1 = single buffer)
-N_SEGS = {N_FULL: 3, 6_631_367: 2}
+LADDER = (276_306, 1_105_227, 2_210_456, 4_420_911, 6_631_367, 7_736_595,
+          N_FULL)
+# corpus STORAGE segments per rung (fragmentation lever; 1 = single buffer).
+# The segmented HBM probe (scripts/perf/hbm_probe.py --segmented) proved
+# 14 GiB resident as 1 GiB segments on a quiet tunnel, so the full 12.65 GiB
+# corpus fits when allocated fine-grained — the r3 3-segment build failed on
+# fragmentation (4.2 GiB segment), not a hard ceiling. Per-segment cost is
+# real (~1.2 ms/extra segment at 6.63M: 2 segs 32.3 ms vs 8 segs 39.7), so
+# each big rung lists an ASCENDING tuple of segment counts: coarsest
+# (fastest) first, finer (allocation-safer) retried after a reclaim-horizon
+# settle if the coarse build fails.
+N_SEGS = {N_FULL: (4, 8), 7_736_595: (4,), 6_631_367: (2,)}
+RETRY_SETTLE_S = 1200  # failed allocs leak until a ~10-20 min reclaim
 RUNG_TIMEOUT_S = 2700  # last-resort bound; a clean failure exits long before
 
 
@@ -166,7 +176,7 @@ def time_slice(jax, jnp, n_docs, iters=8, n_segs=1):
     return (time.time() - t0) / iters
 
 
-def run_rung(n_docs: int):
+def run_rung(n_docs: int, n_segs: int = 0):
     """Subprocess entry: measure ONE ladder rung and print its time as
     the final stdout line (``RUNG <n> <seconds>``). A fresh process per
     rung gives each size a clean TPU client: the corpus is released by
@@ -177,7 +187,9 @@ def run_rung(n_docs: int):
     import jax
     import jax.numpy as jnp
 
-    t = time_slice(jax, jnp, n_docs, n_segs=N_SEGS.get(n_docs, 1))
+    if not n_segs:
+        n_segs = N_SEGS.get(n_docs, (1,))[0]
+    t = time_slice(jax, jnp, n_docs, n_segs=n_segs)
     print(f"RUNG {n_docs} {t:.6f}", flush=True)
 
 
@@ -200,20 +212,42 @@ def _measure_ladder():
                   file=sys.stderr)
             time.sleep(settle)
         prev_gib = gib
-        cmd = [sys.executable, os.path.abspath(__file__), "--rung", str(n)]
-        try:
-            proc = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=RUNG_TIMEOUT_S)
-        except subprocess.TimeoutExpired:
-            print(f"N={n}: rung timed out after {RUNG_TIMEOUT_S}s "
-                  "(killed — HBM may leak until server reclaim)",
-                  file=sys.stderr)
-            break
-        sys.stderr.write(proc.stderr)
-        line = next((l for l in proc.stdout.splitlines()
-                     if l.startswith("RUNG ")), None)
-        if proc.returncode != 0 or line is None:
-            print(f"N={n}: rung failed (rc={proc.returncode})", file=sys.stderr)
+        line, timed_out = None, False
+        leaked = False
+        seg_options = N_SEGS.get(n, (1,))
+        for attempt, segs in enumerate(seg_options):
+            if attempt:
+                # a failed ALLOCATION leaked its reservation: wait past
+                # the server's ~10-20 min reclaim horizon before the
+                # finer-grained retry. Other failures (e.g. a transient
+                # "TPU backend setup" tunnel flake) leak nothing — retry
+                # after a short settle.
+                settle = RETRY_SETTLE_S if leaked else 120
+                print(f"N={n}: settling {settle}s before retry "
+                      f"with {segs} segments", file=sys.stderr)
+                time.sleep(settle)
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--rung", str(n), "--segs", str(segs)]
+            try:
+                proc = subprocess.run(
+                    cmd, capture_output=True, text=True,
+                    timeout=RUNG_TIMEOUT_S)
+            except subprocess.TimeoutExpired:
+                print(f"N={n}: rung timed out after {RUNG_TIMEOUT_S}s "
+                      "(killed — HBM may leak until server reclaim)",
+                      file=sys.stderr)
+                timed_out = True
+                break
+            sys.stderr.write(proc.stderr)
+            line = next((l for l in proc.stdout.splitlines()
+                         if l.startswith("RUNG ")), None)
+            if line is not None and proc.returncode == 0:
+                break
+            leaked = "would not allocate" in (proc.stderr + proc.stdout)
+            print(f"N={n}: rung failed (rc={proc.returncode}, "
+                  f"{segs} segments)", file=sys.stderr)
+            line = None
+        if timed_out or line is None:
             break
         _, n_str, t_str = line.split()
         times[int(n_str)] = float(t_str)
@@ -299,6 +333,8 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--rung":
-        run_rung(int(sys.argv[2]))
+        segs = int(sys.argv[sys.argv.index("--segs") + 1]) \
+            if "--segs" in sys.argv else 0
+        run_rung(int(sys.argv[2]), segs)
     else:
         main()

@@ -769,6 +769,11 @@ def _block_topk_core(
 
 
 _QT = 8  # queries per gather-rescore grid step (min tile-aligned rows)
+# The gather-rescore block-id array rides scalar prefetch, i.e. the WHOLE
+# [Q, k_pad] s32 array must fit SMEM (~1 MB total on v5e; Q=256, k=1000
+# failed compile at exactly 1.00 MB). Budget half of it and chunk queries
+# above that — measured safe at Q=128/k_pad=1024 (512 KB).
+_SMEM_PREFETCH_BUDGET = 512 * 1024
 
 
 def _gather_rescore_kernel(bids_ref, q_ref, p3_ref, out_ref, scratch, sems):
@@ -953,6 +958,21 @@ def pallas_gather_rescore(
     N = sum(s.shape[0] for s in segs)
     k = bids.shape[1]
     assert bids.shape[0] == Q and (kt * GROUP) % 128 == 0, (bids.shape, Q, kt)
+    # SMEM guard: chunk queries so one kernel's prefetched id array stays
+    # within _SMEM_PREFETCH_BUDGET (the array is [Q, k_pad] s32 and lives
+    # whole in SMEM); chunks concat back losslessly — each row's scores
+    # depend only on that row's queries/bids
+    _k_pad = -(-k // kt) * kt
+    max_q = max(_QT, (_SMEM_PREFETCH_BUDGET // (_k_pad * 4)) // _QT * _QT)
+    if Q > max_q:
+        outs, bps = [], []
+        for lo in range(0, Q, max_q):
+            o, bp = pallas_gather_rescore(
+                queries[lo:lo + max_q], plain, bids[lo:lo + max_q],
+                kt=kt, pipeline=pipeline)
+            outs.append(o)
+            bps.append(bp)
+        return jnp.concatenate(outs, axis=0), jnp.concatenate(bps, axis=0)
     assert all(s.shape[0] % GROUP == 0 for s in segs), [s.shape for s in segs]
     k_pad = -(-k // kt) * kt
     q_pad = (-Q) % _QT

@@ -7,7 +7,13 @@ reclaim horizon — so never probe by failing repeatedly, and never start
 near the top. (Observed on this v5e: largest proven resident 11.9 GiB;
 the 16 GB part exposes ~13 GiB usable through this runtime.)
 
-    python scripts/perf/hbm_probe.py
+    python scripts/perf/hbm_probe.py              # single-buffer ladder
+    python scripts/perf/hbm_probe.py --segmented  # 1 GiB segments, held
+                                                  # resident: pins the
+                                                  # usable ceiling to
+                                                  # within 1 GiB with
+                                                  # exactly ONE failed
+                                                  # allocation
 """
 
 from functools import partial
@@ -55,5 +61,43 @@ def main():
             break
 
 
+def main_segmented():
+    """Hold ascending 1 GiB segments resident until one fails.
+
+    Mirrors how bench.py's segmented corpus allocates (many mid-size
+    buffers instead of one giant one — immune to free-list
+    fragmentation), so the total it reaches is the ceiling that matters
+    for the biggest ladder rungs. Exactly one failed (leaked-until-
+    reclaim) allocation at the end, by construction.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    GB = 2**30
+    rows_per_gib = GB // (6144 * 2)
+
+    held = []
+    total = 0
+    for i in range(16):
+        try:
+            seg = jnp.zeros((rows_per_gib, 6144), jnp.bfloat16)
+            np.asarray(seg.ravel()[0:1])
+        except Exception as e:
+            print(f"segment {i} (+1 GiB on {total} GiB resident): FAIL "
+                  f"{type(e).__name__} — usable ceiling in "
+                  f"[{total}, {total + 1}) GiB", flush=True)
+            break
+        held.append(seg)
+        total += 1
+        print(f"resident {total} GiB: OK", flush=True)
+    else:
+        print(f"resident {total} GiB: OK (probe exhausted)", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--segmented" in sys.argv:
+        main_segmented()
+    else:
+        main()

@@ -12,14 +12,38 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
 
+# Disable the persistent XLA compilation cache for the suite: drivers
+# call enable_compilation_cache(), which otherwise makes every test run
+# read/write a cache directory shared with any concurrently-running TPU
+# process. Suite runs under heavy concurrent load have segfaulted inside
+# the cache's zstd read and write paths (and once in backend_compile with
+# the cache already off — XLA:CPU under contention is not blameless), so
+# tests keep the surface minimal: CPU test graphs compile in seconds and
+# the cache buys them nothing. TPU drivers keep it (remote compiles cost
+# minutes).
+
 # The environment ships a TPU plugin that force-appends itself to
 # jax_platforms even when JAX_PLATFORMS=cpu is set; an explicit config
 # update takes priority over it.
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_compilation_cache", False)
 
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules. A full-suite run
+    accumulates hundreds of XLA:CPU executables in one process and
+    started segfaulting inside backend_compile of the late train-step /
+    grad-cache graphs (test_training.py passes in isolation — the crash
+    needs ~170 prior tests' worth of state). Per-module clearing keeps
+    the resident compiler state bounded; re-compiles cost seconds on
+    CPU."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture(scope="session")

@@ -288,6 +288,30 @@ class TestBlockTopk:
         np.testing.assert_array_equal(
             np.asarray(i2), brute(np.asarray(q), np.asarray(c), k))
 
+    def test_gather_rescore_query_chunking(self, interpret_pallas, monkeypatch):
+        """SMEM guard: above _SMEM_PREFETCH_BUDGET the rescore splits the
+        query batch into per-kernel chunks (the [Q, k_pad] id array rides
+        scalar prefetch and must fit SMEM whole — Q=256/k=1000 failed
+        compile on v5e at exactly 1.00 MB). Chunked output must equal the
+        direct per-row dot."""
+        import openmatch_tpu.ops.pallas_mips as pm
+
+        # budget -> max_q = 8, so Q=24 runs as 3 chunks
+        monkeypatch.setattr(pm, "_SMEM_PREFETCH_BUDGET", 64 * 4 * 8)
+        rng = np.random.RandomState(6)
+        Q, D, NB, k = 24, 32, 512, 64
+        q = jnp.array(rng.randn(Q, D).astype(np.float32))
+        plain = jnp.array(rng.randn(NB * 8, D).astype(np.float32))
+        bids = jnp.array(rng.randint(0, NB, size=(Q, k)).astype(np.int32))
+        out, bid_pad = pm.pallas_gather_rescore(q, plain, bids, kt=64)
+        assert out.shape == (Q, k * 8) and bid_pad.shape == (Q, k)
+        qn, pn, bn = np.asarray(q), np.asarray(plain), np.asarray(bids)
+        expect = np.einsum(
+            "qd,qjmd->qjm", qn,
+            pn.reshape(NB, 8, D)[bn]).reshape(Q, k * 8)
+        np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5,
+                                   atol=1e-5)
+
     @pytest.mark.parametrize("N,k", [(70000, 50), (66003, 64), (131077, 9)])
     def test_plain_path_exact(self, interpret_pallas, N, k):
         """Plain-only path (strided-gmax kernel + DMA rescore) vs brute."""
