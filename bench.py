@@ -264,14 +264,43 @@ def _tpu_available() -> bool:
         "axon" in os.environ.get("JAX_PLATFORMS", "")
 
 
+def _tpu_preflight(timeout_s: int = 420) -> bool:
+    """Bounded live-ness check in a SUBPROCESS: when the tunnel is down,
+    backend init HANGS rather than raising (observed during an r3
+    outage), so without this every ladder rung would burn its full
+    RUNG_TIMEOUT. A killed pre-allocation client leaks nothing."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('TPU_OK')"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(f"TPU preflight hung >{timeout_s}s (tunnel down?) — "
+              "falling back to the CPU bench path", file=sys.stderr)
+        return False
+    if "TPU_OK" not in proc.stdout:
+        print("TPU preflight failed — falling back to the CPU bench "
+              f"path\n{proc.stderr[-500:]}", file=sys.stderr)
+        return False
+    return True
+
+
 def main():
     n_chips = Q_GLOBAL // Q_CHIP
 
-    if not _tpu_available():  # CPU fallback keeps the harness runnable anywhere
+    if not (_tpu_available() and _tpu_preflight()):
+        # CPU fallback keeps the harness runnable anywhere
         from openmatch_tpu.drivers.common import enable_compilation_cache
 
         enable_compilation_cache()
         import jax
+
+        # the axon plugin force-appends itself to jax_platforms, so when
+        # the tunnel exists-but-is-down the CPU fallback must pin the
+        # platform explicitly or backend init hangs anyway
+        jax.config.update("jax_platforms", "cpu")
         import jax.numpy as jnp
 
         from openmatch_tpu.ops.mips import Searcher
