@@ -824,9 +824,19 @@ def _make_gather_rescore_seg_kernel(cuts):
     doc-major array is held as ``len(cuts)`` separate HBM buffers (the
     12.65 GiB single buffer at 8.8M docs can fail to allocate when the
     tunnel's free HBM is fragmented, while same-total smaller buffers
-    fit), and each block DMA is routed to its segment with a scalar
-    @pl.when guard on the prefetched block id. ``cuts``: static
-    (lo, hi) global padded-block ranges per segment.
+    fit), and each block DMA is routed to its segment by a balanced
+    BINARY TREE of scalar @pl.when guards on the prefetched block id.
+    ``cuts``: static (lo, hi) global padded-block ranges per segment.
+
+    Routing cost sits on the scalar core's critical path (no copy can
+    start before its guard resolves, and the drain-mode dots wait on all
+    copies): a linear scan evaluates S range tests (~2 compares each)
+    per copy — at 8 segments / k_pad=1024 / Q=128 that is ~2M extra
+    compares per batch, matching the measured ~1.2 ms per extra segment
+    of the r3 bench ladder. The tree takes exactly one compare per
+    level, ceil(log2 S) per copy, and needs no leaf range test because
+    the cuts partition [0, NBp) exhaustively (pad bids are block 0 →
+    segment 0), preserving the exactly-one-start-per-slot invariant.
 
     Wait descriptors are issued unconditionally against segment 0 (a
     Mosaic DMA wait is a semaphore countdown of the descriptor's byte
@@ -839,16 +849,29 @@ def _make_gather_rescore_seg_kernel(cuts):
         i = pl.program_id(0)
         j = pl.program_id(1)
         kt = scratch.shape[0] // (GROUP * _QT)
+
+        def route(row, dst, qq, lo_s, hi_s):
+            # dispatch row to its segment among cuts[lo_s:hi_s]
+            if hi_s - lo_s == 1:
+                pltpu.make_async_copy(
+                    p3_refs[lo_s].at[row - cuts[lo_s][0]], dst,
+                    sems.at[qq]).start()
+                return
+            mid = (lo_s + hi_s) // 2
+
+            @pl.when(row < cuts[mid][0])
+            def _left():
+                route(row, dst, qq, lo_s, mid)
+
+            @pl.when(row >= cuts[mid][0])
+            def _right():
+                route(row, dst, qq, mid, hi_s)
+
         for qq in range(_QT):
             for jj in range(kt):
                 row = bids_ref[i * _QT + qq, j * kt + jj]
                 dst = scratch.at[pl.ds((qq * kt + jj) * GROUP, GROUP), :]
-                for s, (lo, hi) in enumerate(cuts):
-
-                    @pl.when(jnp.logical_and(row >= lo, row < hi))
-                    def _start(s=s, lo=lo, row=row, dst=dst, qq=qq):
-                        pltpu.make_async_copy(
-                            p3_refs[s].at[row - lo], dst, sems.at[qq]).start()
+                route(row, dst, qq, 0, S)
         for qq in range(_QT):
             for jj in range(kt):
                 pltpu.make_async_copy(

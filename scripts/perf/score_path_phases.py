@@ -10,6 +10,12 @@ PHASE:
   sel   _select_groups max-pyramid over synthetic gmax [Q, N/8]
   cand  gather_row_slices candidate fetch + final top_k over synthetic
         scores [Q, N] (the phase-C shape)
+  a3/a3l1    plain-corpus gmax kernel (production phase A), loop-amortized
+  sel/sell1  selection with/without precomputed level 1
+  resc/resc0 DMA gather-rescore, pipelined/drain
+  plain      whole production path; argv[5] = storage segment count
+  rescseg    segmented-corpus rescore in isolation; argv[5] = segments
+  a3seg      per-segment gmax kernels + concat; argv[5] = segments
 """
 
 import sys
@@ -169,17 +175,31 @@ def main():
     elif phase == "plain":
         # whole-path rung: the production plain-kernel path end to end
         # (the exact_search_global shootout ran here once: 92.8 ms vs
-        # 25.7 ms at 4.42M/Q=128 — deleted after losing 3.6x)
+        # 25.7 ms at 4.42M/Q=128 — deleted after losing 3.6x).
+        # argv[5] (plan) doubles as SEGMENT COUNT here: "plain N Q K 8"
+        # stores the corpus as 8 tile-aligned segment arrays, isolating
+        # the segmented-storage overhead end to end (the 8.8M bench rung
+        # showed ~1.2 ms per extra segment at 6.63M; this phase + rescseg
+        # + a3seg decompose where it lands).
         from openmatch_tpu.ops.pallas_mips import (
             BlockCorpus, pallas_plain_topk_prepared)
 
-        plain = jr.normal(jr.PRNGKey(0), (NBp * GROUP, D), jnp.bfloat16)
+        n_segs = plan[0] if plan else 1
+        total_tiles = NBp // 256
+        seg_tiles = [total_tiles // n_segs] * n_segs
+        for i in range(total_tiles % n_segs):
+            seg_tiles[i] += 1
+        segs, key = [], jr.PRNGKey(0)
+        for nt in seg_tiles:
+            key, sub = jr.split(key)
+            segs.append(jr.normal(sub, (nt * 256 * GROUP, D), jnp.bfloat16))
+        plain = tuple(segs) if n_segs > 1 else segs[0]
         q = jr.normal(jr.PRNGKey(1), (Q, D), jnp.bfloat16)
         iters = 8
 
         @jax.jit
         def loop(q, plain):
-            p = BlockCorpus(cb=None, tail=plain[:0], n_docs=NBp * GROUP,
+            p = BlockCorpus(cb=None, tail=segs[0][:0], n_docs=NBp * GROUP,
                             plain=plain)
 
             def body(i, carry):
@@ -192,7 +212,77 @@ def main():
         t0 = time.time()
         np.asarray(loop(q, plain))
         print(f"{phase}: {(time.time() - t0) / iters * 1000:.1f} ms "
-              f"(N={NBp * GROUP}, Q={Q}, K={K})", flush=True)
+              f"(N={NBp * GROUP}, Q={Q}, K={K}, segs={n_segs})", flush=True)
+    elif phase == "rescseg":
+        # segmented-corpus DMA gather-rescore in isolation: argv[5] =
+        # segment count. Distinguishes in-kernel routing cost (S @pl.when
+        # guards per copy, scalar-core work linear in S) from the rest of
+        # the segmented path.
+        from openmatch_tpu.ops.pallas_mips import pallas_gather_rescore
+
+        n_segs = plan[0] if plan else 8
+        total_tiles = NBp // 256
+        seg_tiles = [total_tiles // n_segs] * n_segs
+        for i in range(total_tiles % n_segs):
+            seg_tiles[i] += 1
+        segs, key = [], jr.PRNGKey(0)
+        for nt in seg_tiles:
+            key, sub = jr.split(key)
+            segs.append(jr.normal(sub, (nt * 256 * GROUP, D), jnp.bfloat16))
+        plain = tuple(segs) if n_segs > 1 else segs[0]
+        q = jr.normal(jr.PRNGKey(1), (Q, D), jnp.bfloat16)
+        bid = jr.randint(jr.PRNGKey(2), (Q, K), 0, NB, jnp.int32)
+        iters = 16
+
+        @jax.jit
+        def loop(q, plain, bid):
+            def body(i, carry):
+                out, _ = pallas_gather_rescore(q + carry, plain, bid)
+                return carry + out[0, 0].astype(jnp.bfloat16) * jnp.bfloat16(1e-30)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.bfloat16(0.0))
+
+        np.asarray(loop(q, plain, bid))
+        t0 = time.time()
+        np.asarray(loop(q, plain, bid))
+        dt = (time.time() - t0) / iters
+        print(f"rescseg gather_rescore(segs={n_segs}): {dt * 1000:.1f} ms",
+              flush=True)
+    elif phase == "a3seg":
+        # per-segment gmax kernels + the XLA concat that the segmented
+        # path pays before selection: argv[5] = segment count.
+        from openmatch_tpu.ops.pallas_mips import fused_plain_gmax
+
+        n_segs = plan[0] if plan else 8
+        total_tiles = NBp // 256
+        seg_tiles = [total_tiles // n_segs] * n_segs
+        for i in range(total_tiles % n_segs):
+            seg_tiles[i] += 1
+        segs, key = [], jr.PRNGKey(0)
+        for nt in seg_tiles:
+            key, sub = jr.split(key)
+            segs.append(jr.normal(sub, (nt * 256 * GROUP, D), jnp.bfloat16))
+        q = jr.normal(jr.PRNGKey(1), (Q, D), jnp.bfloat16)
+        iters = 8
+
+        @jax.jit
+        def loop(q, segs):
+            def body(i, carry):
+                parts = [fused_plain_gmax(q + carry, s, emit_l1=8)
+                         for s in segs]
+                g = jnp.concatenate([p[0] for p in parts], axis=1)
+                l1 = jnp.concatenate([p[1] for p in parts], axis=1)
+                return carry + (g[0, 0] + l1[0, 0]).astype(jnp.bfloat16) \
+                    * jnp.bfloat16(1e-30)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.bfloat16(0.0))
+
+        np.asarray(loop(q, tuple(segs)))
+        t0 = time.time()
+        np.asarray(loop(q, tuple(segs)))
+        dt = (time.time() - t0) / iters
+        print(f"a3seg gmax+concat(segs={n_segs}): {dt * 1000:.1f} ms",
+              flush=True)
     else:
         raise SystemExit(f"unknown phase {phase}")
 
