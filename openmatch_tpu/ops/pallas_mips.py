@@ -31,6 +31,7 @@ see /opt/skills/guides/pallas_guide.md for the hardware model.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -659,6 +660,111 @@ def fused_plain_gmax(
     return gmax[:Q] if q_pad else gmax
 
 
+@functools.partial(jax.jit, static_argnames=("tile_g", "tile_q", "emit_l1",
+                                              "nb_valid"))
+def fused_plain_gmax_segs(
+    queries: jnp.ndarray, segs: Tuple[jnp.ndarray, ...],
+    tile_g: int = 256, tile_q: int = 128,
+    emit_l1: int = 8, nb_valid: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-segment gmax kernels writing into ONE [Q, NBp_total] output
+    (and one level-1 array) — no XLA concat of per-segment pieces.
+
+    The segmented-storage path used to run one fused_plain_gmax per
+    segment and ``jnp.concatenate`` the [Q, nb_s] results: a full extra
+    read+write of the gmax array (~1.4 ms at 8.8M docs) and, worse, a
+    DOUBLED gmax transient (parts + concat output both live) — 1.13 GiB
+    at Q=256/8.8M, which is what keeps the wider serving shape from
+    fitting a 16 GiB chip next to the 12.65 GiB corpus. Here segment
+    s's pallas_call windows its OUTPUT blocks at tile offset tile_lo_s
+    (the out BlockSpec index_map adds the offset; the corpus index_map
+    stays segment-local), and calls after the first alias the shared
+    buffers via input_output_aliases, so every segment writes its
+    columns in place. The first call allocates; its blocks outside
+    segment 0's window hold garbage until the later calls overwrite
+    them — the windows partition the tile range exactly.
+
+    In-kernel pad masking (``nb_valid``) receives each segment's GLOBAL
+    tile offset, so pad blocks in the last segment mask identically to
+    the single-buffer kernel. Returns (gmax [Q, NBp], l1 [Q, NBp//emit_l1])
+    — emit_l1 is required here (the segmented serving path always runs
+    the fused selection; the non-fused fallback keeps the concat)."""
+    assert emit_l1 > 0 and tile_g % emit_l1 == 0, (tile_g, emit_l1)
+    Q, D = queries.shape
+    q_pad = (-Q) % tile_q
+    tile_q = min(tile_q, 128)
+    if q_pad:
+        queries = jnp.pad(queries, ((0, q_pad), (0, 0)))
+    Qp = Q + q_pad
+    w1 = tile_g // emit_l1
+    seg_tiles = []
+    for s_arr in segs:
+        assert s_arr.shape[0] % (tile_g * GROUP) == 0, s_arr.shape
+        seg_tiles.append(s_arr.shape[0] // (GROUP * tile_g))
+    total_tiles = sum(seg_tiles)
+
+    big_g = big_l1t = None
+    tile_lo = 0
+    for s_arr, nt in zip(segs, seg_tiles):
+        kernel = _make_plain_gmax_l1_kernel(emit_l1, tile_g, tile_lo,
+                                            nb_valid)
+        in_specs = [
+            pl.BlockSpec((tile_q, D), lambda qb, t: (qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_g * GROUP, D), lambda qb, t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [queries, s_arr]
+        aliases = {}
+        if big_g is not None:
+            in_specs += [pl.BlockSpec(memory_space=pl.ANY),
+                         pl.BlockSpec(memory_space=pl.ANY)]
+            operands += [big_g, big_l1t]
+            aliases = {2: 0, 3: 1}
+            base_kernel = kernel
+
+            def kernel(q_ref, c_ref, _g_in, _l1_in, g_ref, l1_ref,
+                       s_scratch, g_scr, base=base_kernel):
+                # the aliased inputs arrive as refs; the kernel never
+                # reads them — blocks it writes overwrite in place and
+                # blocks outside this segment's window are never touched
+                base(q_ref, c_ref, g_ref, l1_ref, s_scratch, g_scr)
+        lo = tile_lo  # bind per-iteration for the index_map closures
+        big_g, big_l1t = pl.pallas_call(
+            kernel,
+            grid=(Qp // tile_q, nt),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((tile_q, tile_g), lambda qb, t, lo=lo: (qb, t + lo),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((w1, tile_q), lambda qb, t, lo=lo: (t + lo, qb),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Qp, total_tiles * tile_g), jnp.float32),
+                jax.ShapeDtypeStruct((total_tiles * w1, Qp), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tile_g * GROUP, tile_q), jnp.float32),
+                pltpu.VMEM((tile_g, tile_q), jnp.float32),
+            ],
+            input_output_aliases=aliases,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Qp * nt * tile_g * GROUP * D,
+                bytes_accessed=Qp * D * 2 + nt * tile_g * GROUP * D * 2
+                + Qp * nt * tile_g * 4,
+                transcendentals=0,
+            ),
+            interpret=_interpret_mode(),
+        )(*operands)
+        tile_lo += nt
+    l1 = jnp.swapaxes(big_l1t, 0, 1)
+    return (big_g[:Q], l1[:Q]) if q_pad else (big_g, l1)
+
+
 def _auto_qb(Q: int, N: int, D: int, k: int) -> int:
     """Rescore query-chunk size: as large as HBM headroom allows.
 
@@ -1148,30 +1254,40 @@ def _plain_topk_core(
             "single-buffer corpus"
         fanouts = _plan_pyramid(NBp, k, Q)
         fused = bool(fanouts) and tile_g % fanouts[0] == 0
-        g_parts, l1_parts = [], []
-        blk_lo = 0
-        for s_arr in storage_segs:
-            assert s_arr.shape[0] % (tile_g * GROUP) == 0, s_arr.shape
-            nb_here = s_arr.shape[0] // GROUP
-            valid_here = min(max(NB - blk_lo, 0), nb_here)
+        if fused and not os.environ.get("OPENMATCH_SEG_CONCAT"):
+            # per-segment kernels write ONE shared [Q, NBp] gmax (and l1)
+            # via windowed out-spec index maps + input_output_aliases —
+            # no concat copy, no doubled gmax transient
+            gmax, l1 = fused_plain_gmax_segs(
+                queries, storage_segs, tile_g, tile_q,
+                emit_l1=fanouts[0], nb_valid=NB if NBp > NB else None)
+        else:
+            # OPENMATCH_SEG_CONCAT=1 escape hatch / non-fused fallback:
+            # per-segment outputs concatenated in XLA
+            g_parts, l1_parts = [], []
+            blk_lo = 0
+            for s_arr in storage_segs:
+                assert s_arr.shape[0] % (tile_g * GROUP) == 0, s_arr.shape
+                nb_here = s_arr.shape[0] // GROUP
+                valid_here = min(max(NB - blk_lo, 0), nb_here)
+                if fused:
+                    g, l1p = fused_plain_gmax(
+                        queries, s_arr, tile_g, tile_q, emit_l1=fanouts[0],
+                        nb_valid=valid_here if valid_here < nb_here else None)
+                    l1_parts.append(l1p)
+                else:
+                    g = fused_plain_gmax(queries, s_arr, tile_g, tile_q)
+                    if valid_here < nb_here:
+                        col = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+                        g = jnp.where(col < valid_here, g, neg_inf)
+                g_parts.append(g)
+                blk_lo += nb_here
+            gmax = jnp.concatenate(g_parts, axis=1) if len(g_parts) > 1 \
+                else g_parts[0]
+            l1 = None
             if fused:
-                g, l1p = fused_plain_gmax(
-                    queries, s_arr, tile_g, tile_q, emit_l1=fanouts[0],
-                    nb_valid=valid_here if valid_here < nb_here else None)
-                l1_parts.append(l1p)
-            else:
-                g = fused_plain_gmax(queries, s_arr, tile_g, tile_q)
-                if valid_here < nb_here:
-                    col = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
-                    g = jnp.where(col < valid_here, g, neg_inf)
-            g_parts.append(g)
-            blk_lo += nb_here
-        gmax = jnp.concatenate(g_parts, axis=1) if len(g_parts) > 1 \
-            else g_parts[0]
-        l1 = None
-        if fused:
-            l1 = jnp.concatenate(l1_parts, axis=1) if len(l1_parts) > 1 \
-                else l1_parts[0]
+                l1 = jnp.concatenate(l1_parts, axis=1) if len(l1_parts) > 1 \
+                    else l1_parts[0]
         bid = _select_groups(gmax, k, fanout=fanouts, l1=l1)
         cand, bid_pad = pallas_gather_rescore(queries, storage_segs, bid)
         k_pad = bid_pad.shape[1]

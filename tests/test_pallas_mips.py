@@ -475,6 +475,29 @@ class TestBlockTopk:
         np.testing.assert_array_equal(np.asarray(i), brute(q, c, k))
         assert (np.diff(np.asarray(s), axis=1) <= 1e-6).all()
 
+    def test_fused_gmax_segs_matches_single_buffer(self, interpret_pallas):
+        """The alias-windowed per-segment gmax (fused_plain_gmax_segs:
+        one shared output buffer, no concat) must be BITWISE identical
+        to the single-buffer kernel — uneven segments, pad blocks masked
+        in the last segment, and the transposed level-1 output."""
+        from openmatch_tpu.ops.pallas_mips import (GROUP, fused_plain_gmax,
+                                                   fused_plain_gmax_segs)
+
+        D, tile_g, tile_q = 64, 128, 16
+        rng = np.random.RandomState(14)
+        segs = [jnp.asarray(rng.randn(nt * tile_g * GROUP, D), jnp.bfloat16)
+                for nt in (1, 2, 1)]
+        full = jnp.concatenate(segs)
+        q = jnp.asarray(rng.randn(16, D), jnp.bfloat16)
+        nb_valid = full.shape[0] // GROUP - 37  # pads in the last segment
+
+        g1, l11 = fused_plain_gmax(q, full, tile_g, tile_q, emit_l1=8,
+                                   nb_valid=nb_valid)
+        g2, l12 = fused_plain_gmax_segs(q, tuple(segs), tile_g, tile_q,
+                                        emit_l1=8, nb_valid=nb_valid)
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+        np.testing.assert_array_equal(np.asarray(l11), np.asarray(l12))
+
     def test_plan_pyramid(self):
         from openmatch_tpu.ops.mips import _plan_pyramid
 
