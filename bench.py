@@ -58,6 +58,13 @@ TARGET_QPS = 10_000.0
 N_FULL = 8_841_823
 D = 768
 Q_GLOBAL, Q_CHIP, K = 512, 128, 1000
+# wide throughput shape probed at the largest direct rung: the corpus
+# stream is query-count-independent, so a bigger per-chip batch amortizes
+# it (2x the latency; BASELINE bounds QPS only). 256 = 2 query tiles;
+# its gmax resident is [256, NB] f32 = 1.13 GiB at 8.8M — fits only now
+# that the segmented path writes one aliased buffer instead of
+# concatenating parts (no 2x transient).
+WIDE_Q = 256
 # ascending measurement ladder: kept coarse so a bench run compiles at
 # most 5 shapes (each fresh shape costs minutes over the remote-compile
 # tunnel on the first run; the persistent cache makes reruns cheap). The
@@ -142,8 +149,8 @@ def build_block_corpus(jax, jnp, n_docs, seed=0, n_segs=1):
     return BlockCorpus(cb=None, tail=tail_rows, n_docs=n_docs, plain=plain)
 
 
-def time_slice(jax, jnp, n_docs, iters=8, n_segs=1):
-    """Measured seconds per Q_CHIP-query batch over n_docs on this chip.
+def time_slice(jax, jnp, n_docs, iters=8, n_segs=1, q_chip=Q_CHIP):
+    """Measured seconds per q_chip-query batch over n_docs on this chip.
 
     The batch runs ``iters`` times inside ONE dispatched on-device
     fori_loop with a value-dependence chain between iterations (the
@@ -154,7 +161,7 @@ def time_slice(jax, jnp, n_docs, iters=8, n_segs=1):
                                                pallas_plain_topk_prepared)
 
     prep = build_block_corpus(jax, jnp, n_docs, n_segs=n_segs)
-    queries = jax.random.normal(jax.random.PRNGKey(1), (Q_CHIP, D), jnp.bfloat16)
+    queries = jax.random.normal(jax.random.PRNGKey(1), (q_chip, D), jnp.bfloat16)
 
     @jax.jit
     def loop(qs, plain, tail_rows):
@@ -176,7 +183,7 @@ def time_slice(jax, jnp, n_docs, iters=8, n_segs=1):
     return (time.time() - t0) / iters
 
 
-def run_rung(n_docs: int, n_segs: int = 0):
+def run_rung(n_docs: int, n_segs: int = 0, q_chip: int = Q_CHIP):
     """Subprocess entry: measure ONE ladder rung and print its time as
     the final stdout line (``RUNG <n> <seconds>``). A fresh process per
     rung gives each size a clean TPU client: the corpus is released by
@@ -189,7 +196,7 @@ def run_rung(n_docs: int, n_segs: int = 0):
 
     if not n_segs:
         n_segs = N_SEGS.get(n_docs, (1,))[0]
-    t = time_slice(jax, jnp, n_docs, n_segs=n_segs)
+    t = time_slice(jax, jnp, n_docs, n_segs=n_segs, q_chip=q_chip)
     print(f"RUNG {n_docs} {t:.6f}", flush=True)
 
 
@@ -198,6 +205,7 @@ def _measure_ladder():
     import subprocess
 
     times = {}
+    segs_used = {}
     prev_gib = 0.0
     for n in LADDER:
         gib = n * D * 2 / 2**30
@@ -251,8 +259,9 @@ def _measure_ladder():
             break
         _, n_str, t_str = line.split()
         times[int(n_str)] = float(t_str)
+        segs_used[int(n_str)] = segs
         print(f"t_slice(N={n}) = {times[n] * 1e3:.1f} ms", file=sys.stderr)
-    return times
+    return times, segs_used
 
 
 def _tpu_available() -> bool:
@@ -327,14 +336,45 @@ def main():
 
     # ascending ladder, one subprocess per rung; the first failure stops
     # escalation (at most one failed allocation per run)
-    times = _measure_ladder()
+    times, segs_used = _measure_ladder()
     if not times:
         raise SystemExit("no ladder size fit in HBM")
 
     n_meas = max(times)
     t_meas = times[n_meas]
+    q_meas = Q_CHIP
     if n_meas == N_FULL:
-        t_full, label = t_meas, "8.8M_docs_direct"
+        # wide-shape probe: the corpus stream (~15 ms at 8.8M) is
+        # query-count-independent, so a 256-query per-chip batch amortizes
+        # it — more QPS at 2x the latency (BASELINE has no latency bound).
+        # Run it only when 8.8M measured directly, last, in its own
+        # subprocess: a failed allocation here cannot hurt the already-
+        # measured headline (it only leaks until the server reclaim).
+        import subprocess
+
+        time.sleep(60 + int(n_meas * D * 2 / 2**30 * 15))  # release lag
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--rung", str(N_FULL), "--segs", str(segs_used[N_FULL]),
+               "--qchip", str(WIDE_Q)]
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=RUNG_TIMEOUT_S)
+            sys.stderr.write(proc.stderr)
+            line = next((l for l in proc.stdout.splitlines()
+                         if l.startswith("RUNG ")), None)
+            if line is not None and proc.returncode == 0:
+                t_wide = float(line.split()[2])
+                print(f"wide shape Q={WIDE_Q}: t_slice={t_wide * 1e3:.1f} ms "
+                      f"({WIDE_Q / t_wide:,.0f} qps/chip vs "
+                      f"{Q_CHIP / t_meas:,.0f} at Q={Q_CHIP})",
+                      file=sys.stderr)
+                if WIDE_Q / t_wide > Q_CHIP / t_meas:
+                    t_meas, q_meas = t_wide, WIDE_Q
+        except subprocess.TimeoutExpired:
+            print("wide-shape probe timed out; keeping the Q=128 result",
+                  file=sys.stderr)
+    if n_meas == N_FULL:
+        t_full, label = t_meas, f"8.8M_docs_direct_q{q_meas}"
     else:
         sizes = sorted(times)[-2:]
         if len(sizes) == 2:
@@ -346,15 +386,15 @@ def main():
         print(f"affine t(8.8M) = {t_full * 1e3:.1f} ms "
               f"(slope {slope * 1e9:.2f} ms/Mdoc)", file=sys.stderr)
 
-    projected = Q_GLOBAL / t_full
+    projected = n_chips * q_meas / t_full
     print(
-        f"t_slice={t_meas * 1e3:.1f}ms (Q={Q_CHIP}, N={n_meas}, 1 chip); "
+        f"t_slice={t_meas * 1e3:.1f}ms (Q={q_meas}, N={n_meas}, 1 chip); "
         f"projected {n_chips}-chip replicated-index 8.8M-doc qps={projected:,.0f}",
         file=sys.stderr,
     )
     print(json.dumps({
         "metric": f"exact_top{K}_search_qps_{label}_1chip",
-        "value": round(Q_CHIP / t_meas, 1),
+        "value": round(q_meas / t_meas, 1),
         "unit": "qps",
         "vs_baseline": round(projected / TARGET_QPS, 3),
     }))
@@ -364,6 +404,8 @@ if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--rung":
         segs = int(sys.argv[sys.argv.index("--segs") + 1]) \
             if "--segs" in sys.argv else 0
-        run_rung(int(sys.argv[2]), segs)
+        qchip = int(sys.argv[sys.argv.index("--qchip") + 1]) \
+            if "--qchip" in sys.argv else Q_CHIP
+        run_rung(int(sys.argv[2]), segs, qchip)
     else:
         main()
