@@ -531,6 +531,75 @@ def _sharded_search_pallas_padded(
     return _search(queries, plain)
 
 
+def _replicated_prep(arr, mesh: Mesh, n_segs: int, tile_g: int = 256):
+    """Replicated prepared BlockCorpus for the mesh query-partition path:
+    numpy-side pad/segment (same tile-aligned segmentation as
+    prepare_plain_corpus), each segment device_put REPLICATED — so a pod
+    whose per-chip free HBM is fragmented can still hold the full index
+    per chip as n_segs smaller buffers (the single-chip n_segs lever,
+    lifted to the mesh)."""
+    import numpy as np
+
+    from .pallas_mips import GROUP as _G
+    from .pallas_mips import BlockCorpus
+
+    arr = arr if isinstance(arr, np.ndarray) else np.asarray(arr)
+    N, D = arr.shape
+    NB = N // _G
+    NBp = -(-NB // tile_g) * tile_g
+    body = arr[: NB * _G]
+    pad = (NBp - NB) * _G
+    if pad:
+        body = np.concatenate([body, np.zeros((pad, D), arr.dtype)])
+    total_tiles = NBp // tile_g
+    n_segs = max(1, min(n_segs, total_tiles))
+    seg_tiles = [total_tiles // n_segs] * n_segs
+    for i in range(total_tiles % n_segs):
+        seg_tiles[i] += 1
+    rep = NamedSharding(mesh, P(None, None))
+    segs, lo = [], 0
+    for nt in seg_tiles:
+        hi = lo + nt * tile_g * _G
+        segs.append(jax.device_put(np.ascontiguousarray(body[lo:hi]), rep))
+        lo = hi
+    tail = jax.device_put(np.ascontiguousarray(arr[NB * _G:]), rep)
+    plain = tuple(segs) if n_segs > 1 else segs[0]
+    return BlockCorpus(cb=None, tail=tail, n_docs=N, plain=plain)
+
+
+def _query_sharded_search_pallas_prepared(
+    queries, prep, k: int, mesh: Mesh, axis: str,
+    tile_g: int = 256,
+):
+    """Query-split search over a replicated SEGMENTED prepared corpus
+    (_replicated_prep): zero collectives like the padded variant, but the
+    shard-local body is the full static-shape pipeline
+    (pallas_mips._plain_topk_core) — per-segment gmax into one aliased
+    buffer, global selection, segment-routed DMA rescore. Legal because
+    the query partition replicates the corpus, so every chip's valid doc
+    count is the same STATIC n_docs (unlike the docs partition, where the
+    shard boundary makes it a traced per-chip scalar)."""
+    from .pallas_mips import _plain_topk_core
+
+    segs = prep.plain if isinstance(prep.plain, tuple) else (prep.plain,)
+    k = min(k, prep.n_docs)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None),) + (P(None, None),) * (len(segs) + 1),
+        out_specs=(P(axis, None), P(axis, None)),
+        check_vma=False,
+    )
+    def _search(q_shard, *rest):
+        *seg_in, tail = rest
+        plain = tuple(seg_in) if len(seg_in) > 1 else seg_in[0]
+        return _plain_topk_core(q_shard, plain, tail, prep.n_docs, k,
+                                tile_g, 128)
+
+    return _search(queries, *segs, prep.tail)
+
+
 def _query_sharded_search_pallas_padded(
     queries, plain, k: int, mesh: Mesh, axis: str, n_docs: int,
     tile_g: int = 256,
@@ -593,11 +662,12 @@ class Searcher:
         splits query batches (query_sharded_search, zero collectives — the
         fast shape when the corpus fits every chip).
 
-        ``n_segs`` (single-chip pallas path): hold the prepared corpus as
-        that many tile-aligned HBM segment arrays — identical search cost
-        (prepare_plain_corpus / _plain_topk_core), but no single
-        allocation exceeds ~1/n_segs of the index, for chips whose free
-        HBM is fragmented."""
+        ``n_segs`` (pallas path, single-chip or mesh+``partition="queries"``):
+        hold the prepared corpus as that many tile-aligned HBM segment
+        arrays — identical search cost (prepare_plain_corpus /
+        _plain_topk_core; replicated per chip on a mesh via
+        _replicated_prep), but no single allocation exceeds ~1/n_segs of
+        the index, for chips whose free HBM is fragmented."""
         if method == "auto":
             # fused Pallas kernels on real hardware; the scan path on CPU
             # (interpret-mode Pallas would be pathologically slow)
@@ -615,6 +685,15 @@ class Searcher:
         self.last_dispatch = None  # set by search(); dryrun asserts on it
         self.dtype = corpus.dtype
         if mesh is not None and partition == "queries":
+            if method == "pallas" and n_segs > 1:
+                # replicated SEGMENTED prepared corpus: the single-chip
+                # fragmentation lever lifted to the mesh — each chip holds
+                # the full index as n_segs smaller buffers and runs the
+                # full static-shape pipeline on its query slice
+                self._prep = _replicated_prep(corpus, mesh, n_segs)
+                self.corpus = None
+                self.n_docs = corpus.shape[0]
+                return
             if method == "pallas":
                 # replicated tile-aligned plain corpus: every chip runs the
                 # fused kernel pipeline on its query slice
@@ -679,6 +758,13 @@ class Searcher:
             if q_pad:
                 queries = jnp.pad(queries, ((0, q_pad), (0, 0)))
             if self.method == "pallas":
+                if self._prep is not None:  # replicated segmented corpus
+                    self.last_dispatch = "pallas-mesh-queries-seg"
+                    s, i = _query_sharded_search_pallas_prepared(
+                        queries, self._prep, min(self.k, self.n_docs),
+                        self.mesh, self.axis,
+                    )
+                    return (s[:-q_pad], i[:-q_pad]) if q_pad else (s, i)
                 # per-chip fused-kernel pipeline over the replicated
                 # prepared corpus (held padded since __init__)
                 self.last_dispatch = "pallas-mesh-queries"

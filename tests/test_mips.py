@@ -146,6 +146,27 @@ class TestQueryShardedSearch:
         np.testing.assert_array_equal(np.asarray(idd), np.asarray(idq))
         np.testing.assert_allclose(np.asarray(sd), np.asarray(sq), rtol=1e-5)
 
+    def test_searcher_query_partition_segmented_pallas(self, mesh8):
+        """Replicated SEGMENTED corpus on the mesh (n_segs > 1 with
+        partition="queries", method="pallas"): each chip holds the index
+        as segment buffers and runs the full static-shape pipeline —
+        per-segment gmax into one aliased buffer, segment-routed rescore
+        — under shard_map. Exactness vs brute force incl. ragged tail."""
+        rng = np.random.RandomState(21)
+        N = 4100  # 2 segments x 1 tile of 256 blocks, ragged tail of 4
+        c = rng.randn(N, 64).astype(np.float32)
+        c[N - 2] += 9.0  # top doc in the ragged tail
+        q = rng.randn(7, 64).astype(np.float32)
+        searcher = Searcher(c, k=10, mesh=mesh8, partition="queries",
+                            method="pallas", n_segs=2)
+        assert isinstance(searcher._prep.plain, tuple)
+        assert len(searcher._prep.plain) == 2
+        s, i = searcher.search(q)
+        assert searcher.last_dispatch == "pallas-mesh-queries-seg"
+        es, ei = brute_topk(q, c, 10)
+        np.testing.assert_array_equal(np.asarray(i), ei)
+        np.testing.assert_allclose(np.asarray(s), es, rtol=1e-4)
+
 
 class TestHierMethod:
     def test_hier_matches_numpy_large(self):
