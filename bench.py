@@ -103,11 +103,9 @@ def build_block_corpus(jax, jnp, n_docs, seed=0, n_segs=1):
     NBp = -(-NB // TILE_G) * TILE_G
     chunk = 17_269 * GROUP  # doc rows per fill step
 
-    total_tiles = NBp // TILE_G
-    n_segs = max(1, min(n_segs, total_tiles))
-    seg_tiles = [total_tiles // n_segs] * n_segs
-    for i in range(total_tiles % n_segs):
-        seg_tiles[i] += 1
+    from openmatch_tpu.ops.pallas_mips import split_tiles
+
+    seg_tiles = split_tiles(NBp // TILE_G, n_segs)
 
     @partial(jax.jit, donate_argnums=(0,), static_argnames=("rows",))
     def fill(buf, key, start, rows):

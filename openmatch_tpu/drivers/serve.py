@@ -365,7 +365,6 @@ def make_handler(service, default_k: int, rerank_service=None):
 
 def build_service(model_args, data_args, infer_args, max_batch: int) -> RetrievalService:
     import jax
-    import jax.numpy as jnp
 
     from ..retriever.retriever import Retriever
 
@@ -383,8 +382,17 @@ def build_service(model_args, data_args, infer_args, max_batch: int) -> Retrieva
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(dp_size=jax.device_count(), tp_size=1)
+    # bf16-cast on the HOST: the Searcher's mesh branches place the index
+    # themselves (sharded or replicated device_put); a jnp.asarray here
+    # would first stage the full corpus on one device — at 8.8M docs a
+    # 12.65 GiB allocation held ALONGSIDE the mesh placement (over-ceiling
+    # allocations hang the tunnel and leak server-side)
+    import ml_dtypes
+    import numpy as np
+
+    host_emb = np.asarray(retriever.doc_embeddings).astype(ml_dtypes.bfloat16)
     searcher = Searcher(
-        jnp.asarray(retriever.doc_embeddings, jnp.bfloat16),
+        host_emb,
         k=infer_args.retrieve_depth,
         mesh=mesh,
         method=getattr(infer_args, "search_method", "auto"),

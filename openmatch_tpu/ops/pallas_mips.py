@@ -55,6 +55,20 @@ def _interpret_mode() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def split_tiles(total_tiles: int, n_segs: int) -> list:
+    """Tile counts per corpus segment: ceil-split into ``n_segs``
+    near-equal parts (the first total%n segments get one extra tile),
+    clamped to at most one segment per tile. The ONE place the
+    segmentation split policy lives — the bench corpus builder, library
+    prepares, mesh replication, and perf phases must all agree or their
+    storage layouts silently diverge."""
+    n_segs = max(1, min(n_segs, total_tiles))
+    seg_tiles = [total_tiles // n_segs] * n_segs
+    for i in range(total_tiles % n_segs):
+        seg_tiles[i] += 1
+    return seg_tiles
+
+
 def _check_vmem(tile: int, tile_q: int, D: int, with_scores: bool):
     """Every block is double-buffered by the Mosaic pipeline; the sum must
     fit the 16 MB scoped VMEM or compilation fails with a stack OOM."""
@@ -396,11 +410,7 @@ def prepare_plain_corpus(corpus: jnp.ndarray, tile_g: int = 256,
     if pad_b:
         plain = jnp.pad(plain, ((0, pad_b * GROUP), (0, 0)))
     if n_segs > 1:
-        total_tiles = (NB + pad_b) // tile_g
-        n_segs = min(n_segs, total_tiles)
-        seg_tiles = [total_tiles // n_segs] * n_segs
-        for i in range(total_tiles % n_segs):
-            seg_tiles[i] += 1
+        seg_tiles = split_tiles((NB + pad_b) // tile_g, n_segs)
         parts, lo = [], 0
         for nt in seg_tiles:
             parts.append(plain[lo * tile_g * GROUP:(lo + nt) * tile_g * GROUP])
@@ -691,8 +701,11 @@ def fused_plain_gmax_segs(
     the fused selection; the non-fused fallback keeps the concat)."""
     assert emit_l1 > 0 and tile_g % emit_l1 == 0, (tile_g, emit_l1)
     Q, D = queries.shape
-    q_pad = (-Q) % tile_q
+    # clamp BEFORE computing the pad: the strided member loads fix the
+    # hardware query tile at 128 lanes, and padding Q to a multiple of an
+    # unclamped caller default (512) would quadruple the gmax output
     tile_q = min(tile_q, 128)
+    q_pad = (-Q) % tile_q
     if q_pad:
         queries = jnp.pad(queries, ((0, q_pad), (0, 0)))
     Qp = Q + q_pad
@@ -1309,9 +1322,7 @@ def _plain_topk_core(
                         or (NBp // c_split) // 2 <= k):
         c_split = 1  # segments too small to select k blocks from
 
-    seg_tiles = [total_tiles // c_split] * c_split
-    for i in range(total_tiles % c_split):
-        seg_tiles[i] += 1
+    seg_tiles = split_tiles(total_tiles, c_split)
 
     cands, ids_list = [], []
     tile_lo = 0

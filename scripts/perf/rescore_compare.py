@@ -62,9 +62,9 @@ def main():
           lambda qs, p: pallas_block_topk_prepared(qs, p, k=K, rescore="xla"))
     timed("block path, rescore=dma",
           lambda qs, p: pallas_block_topk_prepared(qs, p, k=K, rescore="dma"))
-    timed("plain path, rescore unpipelined",
+    timed("plain path, rescore drain (production default)",
           lambda qs, p: pallas_plain_topk_prepared(qs, p, k=K, pipeline=False))
-    timed("plain path, rescore pipelined (production)",
+    timed("plain path, rescore pipelined (measured a wash; off by default)",
           lambda qs, p: pallas_plain_topk_prepared(qs, p, k=K, pipeline=True))
 
 

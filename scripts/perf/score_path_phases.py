@@ -60,6 +60,8 @@ def main():
     import jax.numpy as jnp
     import jax.random as jr
 
+    from openmatch_tpu.ops.pallas_mips import split_tiles
+
     NB = N // GROUP
     NBp = -(-NB // 256) * 256
 
@@ -185,10 +187,7 @@ def main():
             BlockCorpus, pallas_plain_topk_prepared)
 
         n_segs = plan[0] if plan else 1
-        total_tiles = NBp // 256
-        seg_tiles = [total_tiles // n_segs] * n_segs
-        for i in range(total_tiles % n_segs):
-            seg_tiles[i] += 1
+        seg_tiles = split_tiles(NBp // 256, n_segs)
         segs, key = [], jr.PRNGKey(0)
         for nt in seg_tiles:
             key, sub = jr.split(key)
@@ -221,10 +220,7 @@ def main():
         from openmatch_tpu.ops.pallas_mips import pallas_gather_rescore
 
         n_segs = plan[0] if plan else 8
-        total_tiles = NBp // 256
-        seg_tiles = [total_tiles // n_segs] * n_segs
-        for i in range(total_tiles % n_segs):
-            seg_tiles[i] += 1
+        seg_tiles = split_tiles(NBp // 256, n_segs)
         segs, key = [], jr.PRNGKey(0)
         for nt in seg_tiles:
             key, sub = jr.split(key)
@@ -254,10 +250,7 @@ def main():
         from openmatch_tpu.ops.pallas_mips import fused_plain_gmax
 
         n_segs = plan[0] if plan else 8
-        total_tiles = NBp // 256
-        seg_tiles = [total_tiles // n_segs] * n_segs
-        for i in range(total_tiles % n_segs):
-            seg_tiles[i] += 1
+        seg_tiles = split_tiles(NBp // 256, n_segs)
         segs, key = [], jr.PRNGKey(0)
         for nt in seg_tiles:
             key, sub = jr.split(key)
