@@ -802,11 +802,12 @@ def _auto_qb(Q: int, N: int, D: int, k: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_docs", "k", "tile_g", "tile_q", "qb", "rescore"))
+    "n_docs", "k", "tile_g", "tile_q", "qb", "rescore", "kt"))
 def _block_topk_core(
     queries: jnp.ndarray, cb: jnp.ndarray, tail_rows: jnp.ndarray,
     n_docs: int, k: int, tile_g: int, tile_q: int, qb: int,
     rescore: str = "xla", plain: Optional[jnp.ndarray] = None,
+    kt: int = 64,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Score-free block path over a prepared BlockCorpus (see
     pallas_block_topk for the algorithm)."""
@@ -841,7 +842,7 @@ def _block_topk_core(
         if plain is None:
             raise ValueError("rescore='dma' needs the plain doc-major "
                              "corpus (prepare with with_plain=True)")
-        cand, bid_pad = pallas_gather_rescore(queries, plain, bid)
+        cand, bid_pad = pallas_gather_rescore(queries, plain, bid, kt=kt)
         k_pad = bid_pad.shape[1]
         ids = (bid_pad[:, :, None] * GROUP
                + jnp.arange(GROUP, dtype=jnp.int32)).reshape(Q, k_pad * GROUP)
@@ -1201,7 +1202,7 @@ def pallas_gather_rescore(
 def pallas_block_topk_prepared(
     queries: jnp.ndarray, prep: BlockCorpus, k: int = 1000,
     tile_g: int = 256, tile_q: int = 512, qb: int = 0,
-    rescore: str = "xla",
+    rescore: str = "xla", kt: int = 64,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """pallas_block_topk over a prepared BlockCorpus (serving path: the
     block layout is built once, not per query batch). ``rescore="dma"``
@@ -1217,15 +1218,16 @@ def pallas_block_topk_prepared(
             prep.cb[: prep.n_docs // GROUP].reshape(-1, queries.shape[1])
         return exact_search(queries, corpus[: prep.n_docs], k=k)
     return _block_topk_core(queries, prep.cb, prep.tail, prep.n_docs, k,
-                            tile_g, tile_q, qb, rescore, plain=prep.plain)
+                            tile_g, tile_q, qb, rescore, plain=prep.plain,
+                            kt=kt)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_docs", "k", "tile_g", "tile_q", "pipeline", "c_split"))
+    "n_docs", "k", "tile_g", "tile_q", "pipeline", "c_split", "kt"))
 def _plain_topk_core(
     queries: jnp.ndarray, plain: jnp.ndarray, tail_rows: jnp.ndarray,
     n_docs: int, k: int, tile_g: int, tile_q: int, pipeline: bool = False,
-    c_split: int = 1,
+    c_split: int = 1, kt: int = 64,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-layout exact top-k: plain-corpus gmax kernel + planned
     max-pyramid selection + DMA gather-rescore. The fastest measured path
@@ -1302,7 +1304,8 @@ def _plain_topk_core(
                 l1 = jnp.concatenate(l1_parts, axis=1) if len(l1_parts) > 1 \
                     else l1_parts[0]
         bid = _select_groups(gmax, k, fanout=fanouts, l1=l1)
-        cand, bid_pad = pallas_gather_rescore(queries, storage_segs, bid)
+        cand, bid_pad = pallas_gather_rescore(queries, storage_segs, bid,
+                                              kt=kt)
         k_pad = bid_pad.shape[1]
         ids = (bid_pad[:, :, None] * GROUP
                + jnp.arange(GROUP, dtype=jnp.int32)).reshape(Q, k_pad * GROUP)
@@ -1349,7 +1352,7 @@ def _plain_topk_core(
                 gmax = jnp.where(blk_lo + col < NB, gmax, neg_inf)
             bid = _select_groups(gmax, k_seg, fanout=fanouts) + blk_lo
         cand, bid_pad = pallas_gather_rescore(q_seg, plain, bid,
-                                              pipeline=pipeline)
+                                              pipeline=pipeline, kt=kt)
         k_pad = bid_pad.shape[1]
         ids = (bid_pad[:, :, None] * GROUP
                + jnp.arange(GROUP, dtype=jnp.int32)).reshape(Q, k_pad * GROUP)
@@ -1380,7 +1383,7 @@ def _plain_topk_core(
 def pallas_plain_topk_prepared(
     queries: jnp.ndarray, prep: BlockCorpus, k: int = 1000,
     tile_g: int = 256, tile_q: int = 512, pipeline: bool = False,
-    c_split: int = 1,
+    c_split: int = 1, kt: int = 64,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k over a prepare_plain_corpus layout (plain-only: gmax
     kernel reads the doc-major corpus via strided member loads, rescore
@@ -1401,7 +1404,7 @@ def pallas_plain_topk_prepared(
             if prep.tail.shape[0] else body[: NB * GROUP]
         return exact_search(queries, corpus, k=k)
     return _plain_topk_core(queries, prep.plain, prep.tail, prep.n_docs, k,
-                            tile_g, tile_q, pipeline, c_split)
+                            tile_g, tile_q, pipeline, c_split, kt=kt)
 
 
 def pad_plain(corpus: jnp.ndarray, tile_g: int = 256) -> jnp.ndarray:
@@ -1419,7 +1422,7 @@ def pad_plain(corpus: jnp.ndarray, tile_g: int = 256) -> jnp.ndarray:
 
 def plain_topk_valid(
     queries: jnp.ndarray, plain: jnp.ndarray, valid, k: int,
-    tile_g: int = 256, tile_q: int = 128,
+    tile_g: int = 256, tile_q: int = 128, kt: int = 64,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k over a tile-aligned plain corpus whose count of valid
     leading rows is a TRACED scalar (rows >= valid are zero padding).
@@ -1464,7 +1467,7 @@ def plain_topk_valid(
     gmax = jnp.where(col < nb_full, gmax, neg_inf)
 
     bid = _select_groups(gmax, k)  # [Q, k]
-    cand, bid_pad = pallas_gather_rescore(queries, plain, bid)
+    cand, bid_pad = pallas_gather_rescore(queries, plain, bid, kt=kt)
     k_pad = bid_pad.shape[1]
     ids = (bid_pad[:, :, None] * GROUP
            + jnp.arange(GROUP, dtype=jnp.int32)).reshape(Q, k_pad * GROUP)

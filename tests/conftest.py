@@ -46,6 +46,27 @@ def _clear_jax_caches_per_module():
     jax.clear_caches()
 
 
+@pytest.fixture(autouse=True, scope="session")
+def _small_rescore_kt():
+    """Force the gather-rescore kernel's kt (selected blocks per grid
+    step) from the production 64 down to 16 for the whole suite: the
+    kernel body unrolls kt*8 DMA copies, and in interpret mode tracing a
+    512-copy body dominates test wall-clock (measured ~4x: the 3-segment
+    storage test dropped 188s -> ~40s). kt only changes the k padding and
+    the grid split — outputs are bitwise identical (pad columns are
+    masked), so coverage is unchanged. kt*8 must stay a 128 multiple."""
+    import openmatch_tpu.ops.pallas_mips as pm
+
+    real = pm.pallas_gather_rescore
+
+    def forced_kt(queries, plain, bids, kt=64, pipeline=False):
+        return real(queries, plain, bids, kt=16, pipeline=pipeline)
+
+    pm.pallas_gather_rescore = forced_kt
+    yield
+    pm.pallas_gather_rescore = real
+
+
 @pytest.fixture(scope="session")
 def mesh8():
     import jax
