@@ -157,13 +157,14 @@ def main():
         q = jr.normal(jr.PRNGKey(1), (Q, D), jnp.bfloat16)
         bid = jr.randint(jr.PRNGKey(2), (Q, K), 0, NB, jnp.int32)
         pipe = phase == "resc"
+        kt = plan[0] if plan else 64  # argv[5] = kt sweep (kt*8 % 128 == 0)
         iters = 16
 
         @jax.jit
         def loop(q, plain, bid):
             def body(i, carry):
                 out, _ = pallas_gather_rescore(q + carry, plain, bid,
-                                               pipeline=pipe)
+                                               pipeline=pipe, kt=kt)
                 return carry + out[0, 0].astype(jnp.bfloat16) * jnp.bfloat16(1e-30)
 
             return jax.lax.fori_loop(0, iters, body, jnp.bfloat16(0.0))
@@ -172,8 +173,8 @@ def main():
         t0 = time.time()
         np.asarray(loop(q, plain, bid))
         dt = (time.time() - t0) / iters
-        print(f"{phase} gather_rescore(pipeline={pipe}): {dt * 1000:.1f} ms",
-              flush=True)
+        print(f"{phase} gather_rescore(pipeline={pipe}, kt={kt}): "
+              f"{dt * 1000:.1f} ms", flush=True)
     elif phase == "plain":
         # whole-path rung: the production plain-kernel path end to end
         # (the exact_search_global shootout ran here once: 92.8 ms vs
