@@ -146,6 +146,29 @@ class TestQueryShardedSearch:
         np.testing.assert_array_equal(np.asarray(idd), np.asarray(idq))
         np.testing.assert_allclose(np.asarray(sd), np.asarray(sq), rtol=1e-5)
 
+    def test_searcher_accepts_host_bf16_numpy(self, mesh8):
+        """serve.build_service hands the Searcher a HOST ml_dtypes
+        bfloat16 numpy corpus (casting on-device first would stage the
+        full index on one chip beside the mesh placement); every branch
+        must accept it. Well-separated data so bf16 rounding cannot
+        reorder the expected ids."""
+        import ml_dtypes
+
+        rng = np.random.RandomState(5)
+        base = rng.randn(2048, 64).astype(np.float32)
+        c = 0.01 * base
+        c[100:103] += 8.0  # unambiguous winners for an all-positive query
+        cb = c.astype(ml_dtypes.bfloat16)
+        q = np.abs(rng.randn(8, 64)).astype(np.float32)
+        want = {100, 101, 102}
+        for s in (Searcher(cb, k=3, method="hier2"),
+                  Searcher(cb, k=3, mesh=mesh8, partition="queries",
+                           method="hier2"),
+                  Searcher(cb, k=3, mesh=mesh8, partition="docs",
+                           method="hier2")):
+            _, ids = s.search(jnp.asarray(q))
+            assert set(np.asarray(ids).ravel().tolist()) == want
+
     def test_searcher_query_partition_segmented_pallas(self, mesh8):
         """Replicated SEGMENTED corpus on the mesh (n_segs > 1 with
         partition="queries", method="pallas"): each chip holds the index
