@@ -475,6 +475,24 @@ class TestBlockTopk:
         np.testing.assert_array_equal(np.asarray(i), brute(q, c, k))
         assert (np.diff(np.asarray(s), axis=1) <= 1e-6).all()
 
+    def test_segmented_concat_escape_hatch(self, interpret_pallas,
+                                            monkeypatch):
+        """OPENMATCH_SEG_CONCAT=1 (the hardware fallback if the aliased
+        seg-gmax misbehaves under Mosaic) must stay exact — it is the
+        path we would ship the bench on if input_output_aliases fails."""
+        from openmatch_tpu.ops.pallas_mips import (
+            pallas_plain_topk_prepared, prepare_plain_corpus)
+
+        monkeypatch.setenv("OPENMATCH_SEG_CONCAT", "1")
+        rng = np.random.RandomState(15)
+        N, k = 18432, 30
+        q = -np.abs(rng.randn(8, 128)).astype(np.float32)
+        c = np.abs(rng.randn(N, 128)).astype(np.float32)
+        prep = prepare_plain_corpus(jnp.asarray(c), tile_g=128, n_segs=2)
+        s, i = pallas_plain_topk_prepared(
+            jnp.asarray(q), prep, k=k, tile_g=128, tile_q=8)
+        np.testing.assert_array_equal(np.asarray(i), brute(q, c, k))
+
     def test_fused_gmax_segs_matches_single_buffer(self, interpret_pallas):
         """The alias-windowed per-segment gmax (fused_plain_gmax_segs:
         one shared output buffer, no concat) must be BITWISE identical
