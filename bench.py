@@ -297,8 +297,13 @@ def _tpu_preflight(timeout_s: int = 420) -> bool:
 def main():
     n_chips = Q_GLOBAL // Q_CHIP
 
-    if not (_tpu_available() and _tpu_preflight()):
-        # CPU fallback keeps the harness runnable anywhere
+    tpu_configured = _tpu_available()
+    if not (tpu_configured and _tpu_preflight()):
+        # CPU fallback keeps the harness runnable anywhere; the label
+        # distinguishes "no TPU configured" from "TPU configured but the
+        # tunnel is unreachable" (an 8h relay outage hit round 3 — the
+        # real measured numbers live in docs/performance.md)
+        why = "_tunnel_down" if tpu_configured else ""
         from openmatch_tpu.drivers.common import enable_compilation_cache
 
         enable_compilation_cache()
@@ -325,7 +330,7 @@ def main():
         np.asarray(out.ravel()[0:1])
         t = (time.time() - t0) / 3
         print(json.dumps({
-            "metric": f"exact_top{K}_search_qps_{N / 1e6:.1f}M_docs_cpu",
+            "metric": f"exact_top{K}_search_qps_{N / 1e6:.1f}M_docs_cpu{why}",
             "value": round(Q_CHIP / t, 1),
             "unit": "qps",
             "vs_baseline": round(Q_GLOBAL / t / TARGET_QPS, 3),
