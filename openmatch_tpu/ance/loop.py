@@ -24,17 +24,14 @@ DRTrainDataset consumes refreshed files unchanged.
 
 from __future__ import annotations
 
-import glob
 import json
 import logging
 import os
 import random
 import re
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict, Iterable, List, Optional, Tuple
-
-import numpy as np
 
 logger = logging.getLogger(__name__)
 
@@ -123,7 +120,9 @@ def build_ann_lines(
 ) -> Iterable[str]:
     for qid, negs in negatives.items():
         positives = [p for p in qrels.get(qid, []) if p in tokenized_corpus]
-        if not positives or not negs:
+        # guard the query too: one qid missing from tokenized_queries must
+        # not abort the whole generation after the expensive encode+search
+        if not positives or not negs or qid not in tokenized_queries:
             continue
         yield json.dumps({
             "query": tokenized_queries[qid],

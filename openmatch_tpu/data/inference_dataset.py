@@ -63,7 +63,6 @@ class InferenceDataset:
         data_args: DataArguments,
         data_files=None,
         is_query: bool = False,
-        full_tokenization: bool = True,
         shard_index: int = 0,
         num_shards: int = 1,
     ) -> "InferenceDataset":

@@ -122,27 +122,38 @@ def load_ranking_negatives(rank_file: str, relevance: Dict[str, List[str]],
                            n_sample: int, depth: int, seed: Optional[int] = None):
     """Stream hard negatives from a TREC run grouped by query
     (reference scripts/msmarco/build_hn.py:13-37): drop positives, cap at
-    ``depth``, shuffle, sample ``n_sample``."""
+    ``depth``, shuffle, sample ``n_sample``. Queries absent from
+    ``relevance`` are SKIPPED (no positives -> no training example); the
+    reference raises KeyError there, killing the run partway through a
+    mined file when the run's query set exceeds the qrels."""
     import random as _random
 
     rng = _random.Random(seed)
     curr_q, negatives = None, []
+
+    def emit(q, negs):
+        if q not in relevance:
+            return None
+        negs = negs[:depth]
+        rng.shuffle(negs)
+        return q, relevance[q], negs[:n_sample]
+
     with open(rank_file) as f:
         for line in f:
             q, _, p, _, _, _ = line.split()
             if curr_q is None:
                 curr_q = q
             if q != curr_q:
-                negatives = negatives[:depth]
-                rng.shuffle(negatives)
-                yield curr_q, relevance[curr_q], negatives[:n_sample]
+                row = emit(curr_q, negatives)
+                if row is not None:
+                    yield row
                 curr_q, negatives = q, []
             if p not in relevance.get(q, ()):
                 negatives.append(p)
     if curr_q is not None:
-        negatives = negatives[:depth]
-        rng.shuffle(negatives)
-        yield curr_q, relevance[curr_q], negatives[:n_sample]
+        row = emit(curr_q, negatives)
+        if row is not None:
+            yield row
 
 
 class ShardedJsonlWriter:

@@ -37,10 +37,20 @@ def encode_one(tokenizer, content: Content, max_length: int) -> List[int]:
     )["input_ids"]
 
 
+def _to_ids(tokenizer, content: Content) -> List[int]:
+    """Content as special-token-free ids (text tokenized, id lists as-is)."""
+    if _is_id_list(content):
+        return list(content)
+    return tokenizer.encode(content, add_special_tokens=False)
+
+
 def encode_pair(tokenizer, a: Content, b: Content, max_length: int) -> List[int]:
-    """Pair encoding with longest-first truncation to max_length."""
-    if _is_id_list(a) and _is_id_list(b):
-        a, b = list(a), list(b)
+    """Pair encoding with longest-first truncation to max_length. MIXED
+    pairs (text query against a pre-tokenized corpus doc — the rerank-over-
+    preprocessed-collection path) are normalized to the id-list route;
+    fast tokenizers reject encode_plus((str, List[int])) outright."""
+    if _is_id_list(a) or _is_id_list(b):
+        a, b = _to_ids(tokenizer, a), _to_ids(tokenizer, b)
         num_special = tokenizer.num_special_tokens_to_add(pair=True)
         budget = max(max_length - num_special, 0)
         while len(a) + len(b) > budget:
@@ -62,9 +72,10 @@ def encode_pair(tokenizer, a: Content, b: Content, max_length: int) -> List[int]
 def encode_pair_with_segments(tokenizer, a: Content, b: Content, max_length: int):
     """(input_ids, token_type_ids) for a pair — BERT cross-encoders need the
     segment boundary (query=0, passage=1); fast tokenizers provide
-    create_token_type_ids_from_sequences for the id-list path."""
-    if _is_id_list(a) and _is_id_list(b):
-        a, b = list(a), list(b)
+    create_token_type_ids_from_sequences for the id-list path. Mixed
+    text/id pairs are normalized to ids (see encode_pair)."""
+    if _is_id_list(a) or _is_id_list(b):
+        a, b = _to_ids(tokenizer, a), _to_ids(tokenizer, b)
         num_special = tokenizer.num_special_tokens_to_add(pair=True)
         budget = max(max_length - num_special, 0)
         while len(a) + len(b) > budget:

@@ -5,8 +5,11 @@ that must match bit-for-bit to reproduce MRR (SURVEY.md §7 "exact loss
 semantics"):
 
 - positive: first, or ``(hashed_seed + epoch) % len(positives)`` (:80-84)
-- negatives, when fewer than needed: ``random.choices`` with the per-example
-  seed, or doubled-then-truncated when unseeded (:86-93)
+- negatives, when fewer than needed: ``random.choices`` (:86-93) — the
+  reference draws from the advancing process-global RNG (per-example
+  variation, irreproducible); we keep the variation but seed it
+  deterministically per (seed, epoch, example-fingerprint). Unseeded:
+  doubled-then-truncated, matched exactly.
 - negatives, when enough: epoch-offset window over a seed-shuffled,
   doubled list (:96-104)
 - tokenization: ``encode_plus(ids_or_text, truncation='only_first',
@@ -27,6 +30,7 @@ import glob
 import json
 import os
 import random
+import zlib
 from typing import Dict, Iterator, List, Optional
 
 from ..config import DataArguments
@@ -124,7 +128,16 @@ class DRTrainDataset(TrainDataset):
         negative_size = data_args.train_n_passages - 1
         if len(group_negatives) < negative_size:
             if hashed_seed is not None:
-                negs = random.Random(hashed_seed + epoch).choices(group_negatives, k=negative_size)
+                # the reference draws from the ADVANCING process-global RNG
+                # (random.choices, :89) — per-example variation but not
+                # reproducible across runs. Seeding with only (seed, epoch)
+                # would hand every short example in an epoch the identical
+                # index pattern (silent negative-diversity collapse);
+                # mixing in a stable per-example fingerprint keeps the
+                # reference's variation AND run-to-run determinism.
+                fp = zlib.crc32(repr(qry).encode())
+                negs = random.Random(hashed_seed + epoch * 2654435761 + fp) \
+                    .choices(group_negatives, k=negative_size)
             else:
                 negs = (list(group_negatives) * 2)[:negative_size]
         elif data_args.train_n_passages == 1:

@@ -63,9 +63,22 @@ def shard_path(save_dir: str, kind: str, shard_index: int) -> str:
     return os.path.join(save_dir, f"embeddings.{kind}.rank.{shard_index}.npz")
 
 
-def save_embeddings(embeddings: np.ndarray, ids: List[str], path: str):
+def save_embeddings(embeddings: np.ndarray, ids: List[str], path: str,
+                    num_shards: Optional[int] = None):
+    """Write one shard ATOMICALLY (tmp + rename — a crashed encoder never
+    leaves a truncated npz behind), plus a sidecar manifest when the
+    writer knows the collection's total shard count; list_shards uses the
+    sidecars to detect missing shards at load time."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(path, embeddings=embeddings, ids=np.array(ids))
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, embeddings=embeddings, ids=np.array(ids))
+    os.replace(tmp, path)
+    if num_shards is not None:
+        mtmp = path + ".manifest.tmp"
+        with open(mtmp, "w") as f:
+            json.dump({"num_shards": int(num_shards),
+                       "rows": int(embeddings.shape[0])}, f)
+        os.replace(mtmp, path + ".manifest.json")
 
 
 def load_embeddings(path: str) -> Tuple[np.ndarray, List[str]]:
@@ -73,14 +86,33 @@ def load_embeddings(path: str) -> Tuple[np.ndarray, List[str]]:
         return z["embeddings"], [str(x) for x in z["ids"]]
 
 
-def write_manifest(save_dir: str, kind: str, num_shards: int, counts: List[int]):
-    with open(os.path.join(save_dir, f"manifest.{kind}.json"), "w") as f:
-        json.dump({"num_shards": num_shards, "counts": counts}, f)
-
-
 def list_shards(save_dir: str, kind: str) -> List[str]:
+    """Shard paths in rank order. When sidecar manifests exist, verify
+    COMPLETENESS: every rank 0..num_shards-1 must be present (a silent
+    gap would search a partial index and quietly depress recall)."""
     names = [
         n for n in os.listdir(save_dir)
         if n.startswith(f"embeddings.{kind}.rank.") and n.endswith(".npz")
+        and not n.endswith(".tmp.npz")
     ]
-    return [os.path.join(save_dir, n) for n in sorted(names, key=lambda n: int(n.split(".")[-2]))]
+    paths = [os.path.join(save_dir, n)
+             for n in sorted(names, key=lambda n: int(n.split(".")[-2]))]
+    declared = set()
+    for p in paths:
+        mpath = p + ".manifest.json"
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                declared.add(json.load(f)["num_shards"])
+    if declared:
+        if len(declared) > 1:
+            raise ValueError(
+                f"shard manifests in {save_dir} disagree on num_shards: "
+                f"{sorted(declared)}")
+        want = declared.pop()
+        have = {int(p.split(".")[-2]) for p in paths}
+        missing = sorted(set(range(want)) - have)
+        if missing:
+            raise ValueError(
+                f"embedding shards missing from {save_dir}: ranks {missing} "
+                f"of {want} (partial encode? rerun build_index for them)")
+    return paths

@@ -64,6 +64,7 @@ class Retriever:
         self.mesh = mesh
         self.doc_embeddings: Optional[np.ndarray] = None
         self.doc_ids: List[str] = []
+        self._corpus_gen = 0  # bumped on corpus (re)assignment
 
     # ---- corpus side ---------------------------------------------------
 
@@ -77,8 +78,11 @@ class Retriever:
             is_query=False,
         )
         if save_dir:
-            save_embeddings(emb, ids, shard_path(save_dir, "corpus", shard_index))
+            save_embeddings(emb, ids, shard_path(save_dir, "corpus", shard_index),
+                            num_shards=getattr(self.data_args,
+                                               "encode_num_shard", None))
         self.doc_embeddings, self.doc_ids = emb, ids
+        self._corpus_gen += 1  # invalidate the cached Searcher
         return emb, ids
 
     def load_corpus_shards(self, save_dir: str):
@@ -89,6 +93,7 @@ class Retriever:
             ids.extend(i)
         self.doc_embeddings = np.concatenate(embs, axis=0)
         self.doc_ids = ids
+        self._corpus_gen += 1  # invalidate the cached Searcher
         return self.doc_embeddings, self.doc_ids
 
     # ---- query side ----------------------------------------------------
@@ -103,7 +108,9 @@ class Retriever:
             is_query=True,
         )
         if save_dir:
-            save_embeddings(emb, ids, shard_path(save_dir, "query", shard_index))
+            save_embeddings(emb, ids, shard_path(save_dir, "query", shard_index),
+                            num_shards=getattr(self.data_args,
+                                               "encode_num_shard", None))
         return emb, ids
 
     # ---- search --------------------------------------------------------
@@ -111,16 +118,25 @@ class Retriever:
     def search(self, q_embeddings: np.ndarray, qids: List[str], topk: int = 100,
                search_dtype=jnp.bfloat16) -> RankResult:
         assert self.doc_embeddings is not None, "encode or load the corpus first"
-        searcher = Searcher(
-            jnp.asarray(self.doc_embeddings, search_dtype), k=topk, mesh=self.mesh,
-            method=getattr(self.args, "search_method", "auto"),
-            # "queries" replicates the index per chip and splits query
-            # batches (no collectives) — the fast shape when the corpus
-            # fits each chip's HBM; "docs" row-shards the corpus
-            partition=getattr(self.args, "search_partition", "docs"),
-            n_segs=getattr(self.args, "search_n_segs", 1),
-        )
-        scores, indices = searcher.search(jnp.asarray(q_embeddings, search_dtype))
+        # the built Searcher IS the index (prepared layout, device
+        # placement); rebuilding per call would re-pad and re-upload the
+        # whole corpus each query batch — cache until the corpus or the
+        # requested depth changes (ANCE loops call search() per batch)
+        key = (self._corpus_gen, topk, search_dtype)
+        if getattr(self, "_searcher_key", None) != key:
+            self._searcher = Searcher(
+                jnp.asarray(self.doc_embeddings, search_dtype), k=topk,
+                mesh=self.mesh,
+                method=getattr(self.args, "search_method", "auto"),
+                # "queries" replicates the index per chip and splits query
+                # batches (no collectives) — the fast shape when the corpus
+                # fits each chip's HBM; "docs" row-shards the corpus
+                partition=getattr(self.args, "search_partition", "docs"),
+                n_segs=getattr(self.args, "search_n_segs", 1),
+            )
+            self._searcher_key = key
+        scores, indices = self._searcher.search(
+            jnp.asarray(q_embeddings, search_dtype))
         return _to_result(np.asarray(scores), np.asarray(indices), qids, self.doc_ids)
 
     def retrieve(self, query_dataset: Iterable[dict], topk: int = 100) -> RankResult:

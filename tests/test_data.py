@@ -82,6 +82,30 @@ class TestDRTrainDataset:
         # negative_size=2 from 1 negative -> doubled then truncated
         assert ex["passages"][1] == ex["passages"][2] == ds._encode("doc", 16)
 
+    def test_short_negatives_seeded_vary_per_example_deterministically(
+            self, tokenizer, train_file):
+        """Seeded short-negative sampling must differ BETWEEN examples in
+        an epoch (a (seed, epoch)-only RNG hands every short example the
+        identical index pattern — silent diversity collapse vs the
+        reference's advancing global RNG) yet reproduce run-to-run."""
+        args = DataArguments(train_path=train_file, train_n_passages=9,
+                             q_max_len=16, p_max_len=16)
+        ds = DRTrainDataset(tokenizer, args)
+        # 4 in-vocab, mutually distinguishable negatives; 4 < 8 -> choices
+        negs = ["hello", "world", "dense", "retrieval"]
+
+        def draws(query, epoch):
+            ex = ds.process_one(
+                {"query": query, "positives": ["hello"], "negatives": negs},
+                epoch=epoch, hashed_seed=7)
+            return ex["passages"][1:]
+
+        # deterministic: same example + seed + epoch -> identical
+        assert draws("query a", 0) == draws("query a", 0)
+        # varies across examples and across epochs
+        assert draws("query a", 0) != draws("query b", 0)
+        assert draws("query a", 0) != draws("query a", 1)
+
     def test_epoch_offset_window(self, tokenizer, train_file):
         args = DataArguments(train_path=train_file, train_n_passages=3,
                              q_max_len=16, p_max_len=16, negative_passage_no_shuffle=True)
@@ -248,6 +272,39 @@ class TestPreTokenizedInputs:
         out = encode_pair(tokenizer, a, b, max_length=12)
         assert len(out) == 12
         assert out.count(6) == 3  # shorter side untouched
+
+    def test_encode_pair_mixed_text_and_ids(self, tokenizer):
+        """Rerank over a pre-tokenized corpus: a TEXT query paired with an
+        id-list doc must encode like the all-text pair (fast tokenizers
+        reject encode_plus((str, List[int])) outright)."""
+        from openmatch_tpu.data.tokenization import (
+            encode_pair, encode_pair_with_segments)
+
+        doc_ids = tokenizer.encode("dense retrieval", add_special_tokens=False)
+        want = encode_pair(tokenizer, "hello world", "dense retrieval", 16)
+        assert encode_pair(tokenizer, "hello world", doc_ids, 16) == want
+        ids, segs = encode_pair_with_segments(
+            tokenizer, "hello world", doc_ids, 16)
+        assert ids == want
+        assert segs[:3] == [0, 0, 0] and segs[-1] == 1  # q=0, passage=1
+
+    def test_shard_manifest_detects_missing_shard(self, tmp_path):
+        """Sidecar shard manifests: a gap in the rank sequence must raise
+        at load time, not silently search a partial index."""
+        from openmatch_tpu.retriever.encoder import (
+            list_shards, save_embeddings, shard_path)
+
+        emb = np.ones((3, 4), np.float16)
+        for rank in (0, 2):  # rank 1 never encoded
+            save_embeddings(emb, [f"d{rank}{i}" for i in range(3)],
+                            shard_path(str(tmp_path), "corpus", rank),
+                            num_shards=3)
+        with pytest.raises(ValueError, match=r"ranks \[1\]"):
+            list_shards(str(tmp_path), "corpus")
+        # completing the set heals it
+        save_embeddings(emb, ["d10", "d11", "d12"],
+                        shard_path(str(tmp_path), "corpus", 1), num_shards=3)
+        assert len(list_shards(str(tmp_path), "corpus")) == 3
 
     def test_dr_dataset_with_id_lists(self, tokenizer, tmp_path):
         path = tmp_path / "t.jsonl"

@@ -81,6 +81,22 @@ class TestHardNegativeMining:
         q2 = out[1]
         assert set(q2[2]) == {"d4", "d5"}
 
+    def test_queries_missing_from_qrels_are_skipped(self, tmp_path):
+        """A run query with no qrels entry cannot form a training example;
+        it must be skipped, not KeyError mid-file (the reference crashes
+        there, losing everything after the first unlabeled query)."""
+        run = tmp_path / "run.trec"
+        run.write_text(
+            "q1 Q0 d2 1 3.0 x\n"
+            "qX Q0 d3 1 9.0 x\n"   # qX absent from qrels
+            "q2 Q0 d5 1 8.0 x\n"
+        )
+        rel = {"q1": ["d1"], "q2": ["d9"]}
+        out = list(load_ranking_negatives(str(run), rel, n_sample=5, depth=5,
+                                          seed=0))
+        assert [row[0] for row in out] == ["q1", "q2"]
+        assert out[1][2] == ["d5"]
+
     def test_depth_and_sample_caps(self, tmp_path):
         run = tmp_path / "run.trec"
         lines = [f"q1 Q0 d{i} {i} {100 - i} x" for i in range(1, 21)]
