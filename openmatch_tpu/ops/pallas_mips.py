@@ -961,8 +961,19 @@ def _make_gather_rescore_seg_kernel(cuts):
     Wait descriptors are issued unconditionally against segment 0 (a
     Mosaic DMA wait is a semaphore countdown of the descriptor's byte
     size, not an object handle — the pipelined kernel relies on the same
-    property), so exactly one start and one wait run per slot."""
+    property), so exactly one start and one wait run per slot.
+
+    Routing cost, measured at 8 segs / 2.21M / Q=128 (rescseg phase;
+    unsegmented floor 4.4 ms): unrolled tree 12.9 ms; a ``lax.fori_loop``
+    form of the copy loop (code S leaves per query row, constant in kt —
+    the i-cache hypothesis) measured 20.3 ms — per-iteration scalar loop
+    overhead (~0.45 us/copy) exceeds any instruction-fetch win, so the
+    UNROLLED tree stays the default and the ~0.5 us/copy branch cost is
+    the price of fragmentation-tolerant storage (the bench ladder prefers
+    the fewest segments that allocate for exactly this reason).
+    OPENMATCH_SEG_LOOP=1 selects the loop form."""
     S = len(cuts)
+    unroll = not os.environ.get("OPENMATCH_SEG_LOOP")
 
     def kernel(bids_ref, q_ref, *rest):
         p3_refs, (out_ref, scratch, sems) = rest[:S], rest[S:]
@@ -987,11 +998,21 @@ def _make_gather_rescore_seg_kernel(cuts):
             def _right():
                 route(row, dst, qq, mid, hi_s)
 
-        for qq in range(_QT):
-            for jj in range(kt):
-                row = bids_ref[i * _QT + qq, j * kt + jj]
-                dst = scratch.at[pl.ds((qq * kt + jj) * GROUP, GROUP), :]
-                route(row, dst, qq, 0, S)
+        if unroll:
+            for qq in range(_QT):
+                for jj in range(kt):
+                    row = bids_ref[i * _QT + qq, j * kt + jj]
+                    dst = scratch.at[pl.ds((qq * kt + jj) * GROUP, GROUP), :]
+                    route(row, dst, qq, 0, S)
+        else:
+            for qq in range(_QT):
+                def start_body(jj, carry, qq=qq):
+                    row = bids_ref[i * _QT + qq, j * kt + jj]
+                    dst = scratch.at[pl.ds((qq * kt + jj) * GROUP, GROUP), :]
+                    route(row, dst, qq, 0, S)
+                    return carry
+
+                jax.lax.fori_loop(0, kt, start_body, 0)
         for qq in range(_QT):
             for jj in range(kt):
                 pltpu.make_async_copy(
