@@ -493,6 +493,25 @@ class TestBlockTopk:
             jnp.asarray(q), prep, k=k, tile_g=128, tile_q=8)
         np.testing.assert_array_equal(np.asarray(i), brute(q, c, k))
 
+    def test_segmented_loop_routing_escape_hatch(self, interpret_pallas,
+                                                 monkeypatch):
+        """OPENMATCH_SEG_LOOP=1 selects the fori_loop form of the
+        segmented rescore copy loop (rejected as the default by hardware
+        measurement — 20.3 vs 12.9 ms at 8 segs — but kept as the
+        documented A/B lever); it must stay exact."""
+        from openmatch_tpu.ops.pallas_mips import (
+            pallas_plain_topk_prepared, prepare_plain_corpus)
+
+        monkeypatch.setenv("OPENMATCH_SEG_LOOP", "1")
+        rng = np.random.RandomState(16)
+        N, k = 18432, 30
+        q = rng.randn(8, 128).astype(np.float32)
+        c = rng.randn(N, 128).astype(np.float32)
+        prep = prepare_plain_corpus(jnp.asarray(c), tile_g=128, n_segs=3)
+        s, i = pallas_plain_topk_prepared(
+            jnp.asarray(q), prep, k=k, tile_g=128, tile_q=8)
+        np.testing.assert_array_equal(np.asarray(i), brute(q, c, k))
+
     def test_fused_gmax_segs_matches_single_buffer(self, interpret_pallas):
         """The alias-windowed per-segment gmax (fused_plain_gmax_segs:
         one shared output buffer, no concat) must be BITWISE identical
