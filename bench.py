@@ -42,6 +42,23 @@ metric label says so).
 "value" is the MEASURED single-chip QPS (128 / t_slice) at the largest
 measured N. Exactness at scale is audited by scripts/perf/corpus_scale.py
 (recall vs an independent chunked top-k pass).
+
+BUDGET AWARENESS (r4): the r3 run measured every rung through 7.74M and
+then emitted NO metric at all — the 4-segment 8.8M build failed on
+fragmentation and the 1200 s reclaim settle blew the driver's ~45 min
+wall clock before the known-good 8-segment retry ran. Three fixes:
+  (a) a PROVISIONAL metric JSON line is printed after every successful
+      rung (the driver parses the LAST json line of stdout, so a later
+      timeout or failure can only improve on, never erase, the record);
+  (b) last-known-good segment counts persist in bench_state.json
+      (env OPENMATCH_BENCH_STATE) — each rung tries its PROVEN config
+      first; the faster fewer-segment build runs only as an UPGRADE
+      attempt afterwards, with budget to spare, where its failure
+      cannot cost the already-recorded direct measurement;
+  (c) every settle window and subprocess timeout is capped against a
+      wall-clock budget (env OPENMATCH_BENCH_BUDGET_S, default 2100 s);
+      a rung whose settle + estimated run does not fit the remaining
+      budget is skipped and the run finalizes with what it has.
 """
 
 import json
@@ -81,9 +98,74 @@ LADDER = (276_306, 1_105_227, 2_210_456, 4_420_911, 6_631_367, 7_736_595,
 # each big rung lists an ASCENDING tuple of segment counts: coarsest
 # (fastest) first, finer (allocation-safer) retried after a reclaim-horizon
 # settle if the coarse build fails.
-N_SEGS = {N_FULL: (4, 8), 7_736_595: (4,), 6_631_367: (2,)}
+N_SEGS = {N_FULL: (4, 8, 16), 7_736_595: (4,), 6_631_367: (2,)}
 RETRY_SETTLE_S = 1200  # failed allocs leak until a ~10-20 min reclaim
 RUNG_TIMEOUT_S = 2700  # last-resort bound; a clean failure exits long before
+# wall-clock budget for the WHOLE run (driver observed ~45 min; default
+# leaves headroom for its own orchestration). Settles/attempts that do
+# not fit the remaining budget are skipped, never shrunk below safety.
+BUDGET_S = float(os.environ.get("OPENMATCH_BENCH_BUDGET_S", 2100))
+# last-known-good segment counts per rung, learned across runs. Seeded
+# from the r3 hardware measurements when the file is absent.
+STATE_PATH = os.environ.get(
+    "OPENMATCH_BENCH_STATE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "bench_state.json"))
+PROVEN_SEGS = {6_631_367: 2, 7_736_595: 4, N_FULL: 8}
+
+
+def _load_state():
+    try:
+        with open(STATE_PATH) as f:
+            raw = json.load(f).get("proven_segs", {})
+        return {int(k): int(v) for k, v in raw.items()}
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_state(proven):
+    try:
+        tmp = STATE_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"proven_segs":
+                       {str(k): v for k, v in sorted(proven.items())}},
+                      f, indent=1)
+            f.write("\n")
+        os.replace(tmp, STATE_PATH)
+    except OSError as e:
+        print(f"bench state not saved: {e}", file=sys.stderr)
+
+
+def _est_rung_s(n_docs):
+    """Conservative estimate of one rung subprocess's wall time (corpus
+    build dominates; measured r3 rungs ran 20-300 s warm-cache)."""
+    return 90 + n_docs * D * 2 / 2**30 * 25
+
+
+def _metric_dict(times, q_meas=Q_CHIP, t_meas=None):
+    """The headline metric computed from what has been measured so far —
+    used both for the per-rung PROVISIONAL lines and the final line."""
+    n_chips = Q_GLOBAL // Q_CHIP
+    n_meas = max(times)
+    if t_meas is None:
+        t_meas = times[n_meas]
+    if n_meas == N_FULL:
+        t_full, label = t_meas, f"8.8M_docs_direct_q{q_meas}"
+    else:
+        sizes = sorted(times)[-2:]
+        if len(sizes) == 2:
+            slope = (times[sizes[1]] - times[sizes[0]]) / (sizes[1] - sizes[0])
+        else:  # single point: per-doc scaling upper bound
+            slope = times[sizes[0]] / sizes[0]
+        t_full = t_meas + slope * (N_FULL - n_meas)
+        label = f"{n_meas / 1e6:.1f}M_docs_slope_extrapolated"
+    projected = n_chips * q_meas / t_full
+    return {
+        "metric": f"exact_top{K}_search_qps_{label}_1chip",
+        "value": round(q_meas / t_meas, 1),
+        "unit": "qps",
+        "vs_baseline": round(projected / TARGET_QPS, 3),
+    }
 
 
 def build_block_corpus(jax, jnp, n_docs, seed=0, n_segs=1):
@@ -198,15 +280,48 @@ def run_rung(n_docs: int, n_segs: int = 0, q_chip: int = Q_CHIP):
     print(f"RUNG {n_docs} {t:.6f}", flush=True)
 
 
-def _measure_ladder():
-    """Parent: one subprocess per ascending rung, stop at first failure."""
+def _run_rung_subprocess(n, segs, q_chip, deadline):
+    """One rung attempt in a fresh subprocess. Returns
+    ``(t_or_None, leaked, timed_out)`` — ``leaked`` means the failure was
+    an allocation failure whose reservation stays leaked server-side
+    until the ~10-20 min reclaim (a kill may also leak)."""
     import subprocess
 
-    times = {}
-    segs_used = {}
+    timeout = min(RUNG_TIMEOUT_S, max(60.0, deadline - time.time()))
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--rung", str(n), "--segs", str(segs)]
+    if q_chip != Q_CHIP:
+        cmd += ["--qchip", str(q_chip)]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=timeout)
+    except subprocess.TimeoutExpired:
+        print(f"N={n}: rung timed out after {timeout:.0f}s "
+              "(killed — HBM may leak until server reclaim)",
+              file=sys.stderr)
+        return None, True, True
+    sys.stderr.write(proc.stderr)
+    line = next((l for l in proc.stdout.splitlines()
+                 if l.startswith("RUNG ")), None)
+    if line is not None and proc.returncode == 0:
+        return float(line.split()[2]), False, False
+    leaked = "would not allocate" in (proc.stderr + proc.stdout)
+    print(f"N={n}: rung failed (rc={proc.returncode}, {segs} segments)",
+          file=sys.stderr)
+    return None, leaked, False
+
+
+def _measure_ladder(deadline):
+    """Parent: one subprocess per ascending rung, each rung at its PROVEN
+    segment count first (safer higher counts as fallbacks), a provisional
+    metric line after every success, every wait capped by the budget."""
+    times, segs_used, failed = {}, {}, {}
+    proven = dict(PROVEN_SEGS)
+    proven.update(_load_state())
     prev_gib = 0.0
     for n in LADDER:
         gib = n * D * 2 / 2**30
+        settle = 0
         if times and gib >= 8.0:
             # a clean subprocess exit releases its corpus, but the release
             # propagates through the tunnel with a lag: the r3 ladder saw
@@ -214,52 +329,87 @@ def _measure_ladder():
             # allocation succeed in a later isolated run. Give big rungs a
             # settle window scaled to what the previous rung held.
             settle = 60 + int(prev_gib * 15)
+        if time.time() + settle + _est_rung_s(n) > deadline:
+            print(f"N={n}: skipped — remaining budget "
+                  f"({deadline - time.time():.0f}s) cannot fit the rung",
+                  file=sys.stderr)
+            break
+        if settle:
             print(f"N={n}: settling {settle}s before a {gib:.1f} GiB build",
                   file=sys.stderr)
             time.sleep(settle)
         prev_gib = gib
-        line, timed_out = None, False
-        leaked = False
-        seg_options = N_SEGS.get(n, (1,))
-        for attempt, segs in enumerate(seg_options):
+        options = N_SEGS.get(n, (1,))
+        first = proven.get(n, options[0])
+        # proven first, then only SAFER (more-segment) fallbacks; faster
+        # fewer-segment configs run later as upgrade attempts so their
+        # failure cannot cost the direct measurement
+        order = [first] + [s for s in options if s > first]
+        t, leaked, timed_out, segs = None, False, False, first
+        for attempt, segs in enumerate(order):
             if attempt:
                 # a failed ALLOCATION leaked its reservation: wait past
                 # the server's ~10-20 min reclaim horizon before the
                 # finer-grained retry. Other failures (e.g. a transient
                 # "TPU backend setup" tunnel flake) leak nothing — retry
                 # after a short settle.
-                settle = RETRY_SETTLE_S if leaked else 120
-                print(f"N={n}: settling {settle}s before retry "
+                retry_settle = RETRY_SETTLE_S if leaked else 120
+                if time.time() + retry_settle + _est_rung_s(n) > deadline:
+                    print(f"N={n}: no budget for the {segs}-segment retry",
+                          file=sys.stderr)
+                    break
+                print(f"N={n}: settling {retry_settle}s before retry "
                       f"with {segs} segments", file=sys.stderr)
-                time.sleep(settle)
-            cmd = [sys.executable, os.path.abspath(__file__),
-                   "--rung", str(n), "--segs", str(segs)]
-            try:
-                proc = subprocess.run(
-                    cmd, capture_output=True, text=True,
-                    timeout=RUNG_TIMEOUT_S)
-            except subprocess.TimeoutExpired:
-                print(f"N={n}: rung timed out after {RUNG_TIMEOUT_S}s "
-                      "(killed — HBM may leak until server reclaim)",
-                      file=sys.stderr)
-                timed_out = True
+                time.sleep(retry_settle)
+            t, leaked, timed_out = _run_rung_subprocess(n, segs, Q_CHIP,
+                                                        deadline)
+            if t is not None or timed_out:
                 break
-            sys.stderr.write(proc.stderr)
-            line = next((l for l in proc.stdout.splitlines()
-                         if l.startswith("RUNG ")), None)
-            if line is not None and proc.returncode == 0:
-                break
-            leaked = "would not allocate" in (proc.stderr + proc.stdout)
-            print(f"N={n}: rung failed (rc={proc.returncode}, "
-                  f"{segs} segments)", file=sys.stderr)
-            line = None
-        if timed_out or line is None:
+            failed.setdefault(n, set()).add(segs)
+        if t is None:
             break
-        _, n_str, t_str = line.split()
-        times[int(n_str)] = float(t_str)
-        segs_used[int(n_str)] = segs
-        print(f"t_slice(N={n}) = {times[n] * 1e3:.1f} ms", file=sys.stderr)
-    return times, segs_used
+        times[n] = t
+        segs_used[n] = segs
+        proven[n] = segs
+        _save_state(proven)
+        print(f"t_slice(N={n}) = {t * 1e3:.1f} ms ({segs} seg)",
+              file=sys.stderr)
+        # PROVISIONAL metric: the driver parses the last JSON line of
+        # stdout, so anything that goes wrong later can only improve on,
+        # never erase, this record
+        print(json.dumps(_metric_dict(times)), flush=True)
+    return times, segs_used, proven, failed
+
+
+def _try_upgrade(times, segs_used, proven, failed, deadline):
+    """Attempt the fastest (fewest-segment) config for the largest
+    measured rung, AFTER its proven config is already on record. Returns
+    True when the attempt failed with a leaked allocation (callers should
+    then skip further big builds until the server reclaim)."""
+    n = max(times)
+    faster = sorted(s for s in N_SEGS.get(n, (1,))
+                    if s < segs_used[n] and s not in failed.get(n, ()))
+    if not faster:
+        return False
+    segs = faster[0]
+    settle = 60 + int(n * D * 2 / 2**30 * 15)  # release lag for prev corpus
+    if time.time() + settle + _est_rung_s(n) > deadline:
+        print(f"N={n}: no budget for the {segs}-segment upgrade attempt",
+              file=sys.stderr)
+        return False
+    print(f"N={n}: upgrade attempt with {segs} segments (current "
+          f"{segs_used[n]} segs = {times[n] * 1e3:.1f} ms)", file=sys.stderr)
+    time.sleep(settle)
+    t, leaked, _ = _run_rung_subprocess(n, segs, Q_CHIP, deadline)
+    if t is not None and t < times[n]:
+        times[n] = t
+        segs_used[n] = segs
+        proven[n] = segs
+        _save_state(proven)
+        print(f"t_slice(N={n}) = {t * 1e3:.1f} ms ({segs} seg, upgraded)",
+              file=sys.stderr)
+        print(json.dumps(_metric_dict(times)), flush=True)
+    return leaked
 
 
 def _tpu_available() -> bool:
@@ -296,6 +446,7 @@ def _tpu_preflight(timeout_s: int = 420) -> bool:
 
 def main():
     n_chips = Q_GLOBAL // Q_CHIP
+    deadline = time.time() + BUDGET_S
 
     tpu_configured = _tpu_available()
     if not (tpu_configured and _tpu_preflight()):
@@ -337,70 +488,51 @@ def main():
         }))
         return
 
-    # ascending ladder, one subprocess per rung; the first failure stops
-    # escalation (at most one failed allocation per run)
-    times, segs_used = _measure_ladder()
+    # ascending ladder, one subprocess per rung; a provisional metric line
+    # is printed after every successful rung, so everything below can only
+    # improve on the record already on stdout
+    times, segs_used, proven, failed = _measure_ladder(deadline)
     if not times:
         raise SystemExit("no ladder size fit in HBM")
 
+    leaked = _try_upgrade(times, segs_used, proven, failed, deadline)
     n_meas = max(times)
     t_meas = times[n_meas]
     q_meas = Q_CHIP
-    if n_meas == N_FULL:
+    if n_meas == N_FULL and not leaked:
         # wide-shape probe: the corpus stream (~15 ms at 8.8M) is
         # query-count-independent, so a 256-query per-chip batch amortizes
         # it — more QPS at 2x the latency (BASELINE has no latency bound).
         # Run it only when 8.8M measured directly, last, in its own
         # subprocess: a failed allocation here cannot hurt the already-
-        # measured headline (it only leaks until the server reclaim).
-        import subprocess
-
-        time.sleep(60 + int(n_meas * D * 2 / 2**30 * 15))  # release lag
-        cmd = [sys.executable, os.path.abspath(__file__),
-               "--rung", str(N_FULL), "--segs", str(segs_used[N_FULL]),
-               "--qchip", str(WIDE_Q)]
-        try:
-            proc = subprocess.run(cmd, capture_output=True, text=True,
-                                  timeout=RUNG_TIMEOUT_S)
-            sys.stderr.write(proc.stderr)
-            line = next((l for l in proc.stdout.splitlines()
-                         if l.startswith("RUNG ")), None)
-            if line is not None and proc.returncode == 0:
-                t_wide = float(line.split()[2])
+        # measured headline (it only leaks until the server reclaim);
+        # skipped when the upgrade attempt just leaked a reservation.
+        settle = 60 + int(n_meas * D * 2 / 2**30 * 15)  # release lag
+        if time.time() + settle + _est_rung_s(n_meas) > deadline:
+            print("wide-shape probe skipped: no budget", file=sys.stderr)
+        else:
+            time.sleep(settle)
+            t_wide, _, _ = _run_rung_subprocess(
+                N_FULL, segs_used[N_FULL], WIDE_Q, deadline)
+            if t_wide is None:
+                print("wide-shape probe failed; keeping the Q=128 result",
+                      file=sys.stderr)
+            else:
                 print(f"wide shape Q={WIDE_Q}: t_slice={t_wide * 1e3:.1f} ms "
                       f"({WIDE_Q / t_wide:,.0f} qps/chip vs "
                       f"{Q_CHIP / t_meas:,.0f} at Q={Q_CHIP})",
                       file=sys.stderr)
                 if WIDE_Q / t_wide > Q_CHIP / t_meas:
                     t_meas, q_meas = t_wide, WIDE_Q
-        except subprocess.TimeoutExpired:
-            print("wide-shape probe timed out; keeping the Q=128 result",
-                  file=sys.stderr)
-    if n_meas == N_FULL:
-        t_full, label = t_meas, f"8.8M_docs_direct_q{q_meas}"
-    else:
-        sizes = sorted(times)[-2:]
-        if len(sizes) == 2:
-            slope = (times[sizes[1]] - times[sizes[0]]) / (sizes[1] - sizes[0])
-        else:  # single point: per-doc scaling upper bound
-            slope = times[sizes[0]] / sizes[0]
-        t_full = t_meas + slope * (N_FULL - n_meas)
-        label = f"{n_meas / 1e6:.1f}M_docs_slope_extrapolated"
-        print(f"affine t(8.8M) = {t_full * 1e3:.1f} ms "
-              f"(slope {slope * 1e9:.2f} ms/Mdoc)", file=sys.stderr)
 
-    projected = n_chips * q_meas / t_full
+    m = _metric_dict(times, q_meas=q_meas, t_meas=t_meas)
+    projected = m["vs_baseline"] * TARGET_QPS
     print(
         f"t_slice={t_meas * 1e3:.1f}ms (Q={q_meas}, N={n_meas}, 1 chip); "
         f"projected {n_chips}-chip replicated-index 8.8M-doc qps={projected:,.0f}",
         file=sys.stderr,
     )
-    print(json.dumps({
-        "metric": f"exact_top{K}_search_qps_{label}_1chip",
-        "value": round(q_meas / t_meas, 1),
-        "unit": "qps",
-        "vs_baseline": round(projected / TARGET_QPS, 3),
-    }))
+    print(json.dumps(m), flush=True)
 
 
 if __name__ == "__main__":

@@ -950,13 +950,15 @@ def _make_gather_rescore_seg_kernel(cuts):
 
     Routing cost sits on the scalar core's critical path (no copy can
     start before its guard resolves, and the drain-mode dots wait on all
-    copies): a linear scan evaluates S range tests (~2 compares each)
-    per copy — at 8 segments / k_pad=1024 / Q=128 that is ~2M extra
-    compares per batch, matching the measured ~1.2 ms per extra segment
-    of the r3 bench ladder. The tree takes exactly one compare per
-    level, ceil(log2 S) per copy, and needs no leaf range test because
-    the cuts partition [0, NBp) exhaustively (pad bids are block 0 →
-    segment 0), preserving the exactly-one-start-per-slot invariant.
+    copies) — but compare COUNT is not what costs: the r3 measurements
+    below show the balanced tree (ceil(log2 S) compares per copy) lands
+    at the same ~1.2 ms/extra-segment as the r2 linear scan (~2S
+    compares per copy). What dominates is per-copy BRANCH DISPATCH on
+    the scalar core (~0.5 us per data-dependent @pl.when resolution),
+    which both forms pay once per emitted copy. The tree is kept for
+    its shape (no leaf range test: the cuts partition [0, NBp)
+    exhaustively — pad bids are block 0 → segment 0 — preserving the
+    exactly-one-start-per-slot invariant), not for a measured win.
 
     Wait descriptors are issued unconditionally against segment 0 (a
     Mosaic DMA wait is a semaphore countdown of the descriptor's byte
@@ -971,9 +973,13 @@ def _make_gather_rescore_seg_kernel(cuts):
     UNROLLED tree stays the default and the ~0.5 us/copy branch cost is
     the price of fragmentation-tolerant storage (the bench ladder prefers
     the fewest segments that allocate for exactly this reason).
-    OPENMATCH_SEG_LOOP=1 selects the loop form."""
+    OPENMATCH_SEG_LOOP=1 selects the loop form. Like
+    OPENMATCH_SEG_CONCAT, the flag is read at TRACE time and is not
+    part of the jit cache key — set it at process start only (flipping
+    it mid-process silently reuses the previously traced form for
+    already-seen shapes); '' and '0' both mean the unrolled default."""
     S = len(cuts)
-    unroll = not os.environ.get("OPENMATCH_SEG_LOOP")
+    unroll = os.environ.get("OPENMATCH_SEG_LOOP", "0") in ("", "0")
 
     def kernel(bids_ref, q_ref, *rest):
         p3_refs, (out_ref, scratch, sems) = rest[:S], rest[S:]

@@ -4,7 +4,12 @@ The ladder/wide-probe control flow only executes against the real TPU
 (each rung is a subprocess holding the tunnel's single client slot), so
 these tests fake ``subprocess.run`` and assert the decisions the driver's
 round-end bench run depends on: headline shape selection, the wide-probe
-failure path, segment-option fallback, and slope extrapolation labeling.
+failure path, proven-first segment ordering with upgrade attempts,
+slope extrapolation labeling, provisional per-rung metric emission (the
+driver parses the LAST json line — a later failure must never erase the
+record), the persisted segment-count state file, and the wall-clock
+budget caps (the r3 artifact was lost to a settle window that outlived
+the driver's budget).
 """
 
 import json
@@ -32,21 +37,47 @@ def _parse_cmd(cmd):
 
 
 @pytest.fixture
-def fast(monkeypatch):
-    """No settles, TPU 'present', capture the emitted JSON line."""
+def fast(monkeypatch, tmp_path):
+    """No settles, TPU 'present', state file in tmp."""
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     monkeypatch.setattr(bench, "_tpu_available", lambda: True)
     monkeypatch.setattr(bench, "_tpu_preflight", lambda timeout_s=0: True)
+    monkeypatch.setattr(bench, "STATE_PATH", str(tmp_path / "state.json"))
 
 
-def run_main(monkeypatch, capsys, rung_fn):
+@pytest.fixture
+def clock(monkeypatch, tmp_path):
+    """Deterministic wall clock: sleeps advance it, each rung subprocess
+    costs 90s. For testing the budget caps."""
+    c = types.SimpleNamespace(t=0.0)
+    monkeypatch.setattr(bench.time, "time", lambda: c.t)
+
+    def sleep(s):
+        c.t += s
+
+    monkeypatch.setattr(bench.time, "sleep", sleep)
+    monkeypatch.setattr(bench, "_tpu_available", lambda: True)
+    monkeypatch.setattr(bench, "_tpu_preflight", lambda timeout_s=0: True)
+    monkeypatch.setattr(bench, "STATE_PATH", str(tmp_path / "state.json"))
+    return c
+
+
+def install_rungs(monkeypatch, rung_fn, clock=None):
     def fake_run(cmd, capture_output=True, text=True, timeout=0):
+        if clock is not None:
+            clock.t += 90
         return rung_fn(*_parse_cmd(cmd))
 
     monkeypatch.setattr(subprocess, "run", fake_run)
+
+
+def run_main(monkeypatch, capsys, rung_fn, clock=None):
+    install_rungs(monkeypatch, rung_fn, clock)
     bench.main()
-    out = capsys.readouterr().out.strip().splitlines()[-1]
-    return json.loads(out)
+    out = [l for l in capsys.readouterr().out.strip().splitlines()
+           if l.startswith("{")]
+    assert out, "no metric JSON emitted"
+    return json.loads(out[-1]), [json.loads(l) for l in out]
 
 
 class TestLadder:
@@ -57,7 +88,7 @@ class TestLadder:
             t = 1e-9 * n if q == bench.Q_CHIP else 1.5e-9 * n  # qps 256/1.5 > 128/1
             return FakeProc(stdout=f"RUNG {n} {t:.9f}\n")
 
-        res = run_main(monkeypatch, capsys, rung)
+        res, _ = run_main(monkeypatch, capsys, rung)
         t_wide = 1.5e-9 * bench.N_FULL
         assert res["metric"].endswith("8.8M_docs_direct_q256_1chip")
         assert res["value"] == round(bench.WIDE_Q / t_wide, 1)
@@ -70,7 +101,7 @@ class TestLadder:
                 return FakeProc(returncode=1, stderr="would not allocate")
             return FakeProc(stdout=f"RUNG {n} {1e-9 * n:.9f}\n")
 
-        res = run_main(monkeypatch, capsys, rung)
+        res, _ = run_main(monkeypatch, capsys, rung)
         t = 1e-9 * bench.N_FULL
         assert res["metric"].endswith("8.8M_docs_direct_q128_1chip")
         assert res["value"] == round(bench.Q_CHIP / t, 1)
@@ -82,13 +113,42 @@ class TestLadder:
             t = 1e-9 * n if q == bench.Q_CHIP else 2.5e-9 * n  # 256/2.5 < 128/1
             return FakeProc(stdout=f"RUNG {n} {t:.9f}\n")
 
-        res = run_main(monkeypatch, capsys, rung)
+        res, _ = run_main(monkeypatch, capsys, rung)
         assert res["metric"].endswith("8.8M_docs_direct_q128_1chip")
 
-    def test_segment_fallback_after_alloc_failure(self, fast, monkeypatch,
-                                                  capsys):
-        """The 4-seg 8.8M build fails to allocate; the ladder retries with
-        the 8-seg option and the rung still lands."""
+    def test_proven_config_runs_first_then_upgrade(self, fast, monkeypatch,
+                                                   capsys):
+        """The full rung starts at the PROVEN 8 segments (the r3 lesson),
+        then attempts the faster 4-segment build; when the upgrade is
+        faster it becomes the headline and the new proven config."""
+        calls = []
+
+        def rung(n, segs, q):
+            calls.append((n, segs, q))
+            if q != bench.Q_CHIP:  # wide probe: slower per query, not taken
+                return FakeProc(stdout=f"RUNG {n} {2.5e-9 * n:.9f}\n")
+            t = 1e-9 * n * (1.1 if segs == 8 else 1.0)
+            return FakeProc(stdout=f"RUNG {n} {t:.9f}\n")
+
+        res, _ = run_main(monkeypatch, capsys, rung)
+        full = [c for c in calls
+                if c[0] == bench.N_FULL and c[2] == bench.Q_CHIP]
+        assert [c[1] for c in full] == [8, 4]
+        assert res["metric"].startswith(
+            "exact_top1000_search_qps_8.8M_docs_direct")
+        # the faster 4-seg time is the headline
+        assert res["value"] == round(bench.Q_CHIP / (1e-9 * bench.N_FULL), 1)
+        state = json.load(open(bench.STATE_PATH))
+        assert state["proven_segs"][str(bench.N_FULL)] == 4
+        # the wide probe uses the upgraded config
+        wide = [c for c in calls if c[2] == bench.WIDE_Q]
+        assert wide and wide[0][1] == 4
+
+    def test_failed_upgrade_keeps_record_and_skips_wide(self, fast,
+                                                        monkeypatch, capsys):
+        """An upgrade-attempt allocation failure cannot erase the direct
+        measurement, keeps 8 as proven, and skips the wide probe (the
+        leaked reservation would doom its build too)."""
         calls = []
 
         def rung(n, segs, q):
@@ -97,13 +157,51 @@ class TestLadder:
                 return FakeProc(returncode=1, stderr="would not allocate")
             return FakeProc(stdout=f"RUNG {n} {1e-9 * n:.9f}\n")
 
-        res = run_main(monkeypatch, capsys, rung)
-        assert res["metric"].startswith("exact_top1000_search_qps_8.8M_docs_direct")
-        full = [c for c in calls if c[0] == bench.N_FULL and c[2] == bench.Q_CHIP]
+        res, _ = run_main(monkeypatch, capsys, rung)
+        assert res["metric"].endswith("8.8M_docs_direct_q128_1chip")
+        assert not [c for c in calls if c[2] == bench.WIDE_Q]
+        state = json.load(open(bench.STATE_PATH))
+        assert state["proven_segs"][str(bench.N_FULL)] == 8
+
+    def test_state_file_overrides_proven_order(self, fast, monkeypatch,
+                                               capsys):
+        """A state file naming 4 segments as proven makes 4 run first;
+        when it fails, the safer 8-segment option is retried."""
+        with open(bench.STATE_PATH, "w") as f:
+            json.dump({"proven_segs": {str(bench.N_FULL): 4}}, f)
+        calls = []
+
+        def rung(n, segs, q):
+            calls.append((n, segs, q))
+            if n == bench.N_FULL and segs == 4:
+                return FakeProc(returncode=1, stderr="would not allocate")
+            return FakeProc(stdout=f"RUNG {n} {1e-9 * n:.9f}\n")
+
+        res, _ = run_main(monkeypatch, capsys, rung)
+        full = [c for c in calls
+                if c[0] == bench.N_FULL and c[2] == bench.Q_CHIP]
         assert [c[1] for c in full] == [4, 8]
-        # the wide probe reuses the segment count that actually worked
-        wide = [c for c in calls if c[2] == bench.WIDE_Q]
-        assert wide and wide[0][1] == 8
+        assert res["metric"].startswith(
+            "exact_top1000_search_qps_8.8M_docs_direct")
+        state = json.load(open(bench.STATE_PATH))
+        assert state["proven_segs"][str(bench.N_FULL)] == 8
+
+    def test_provisional_lines_after_every_rung(self, fast, monkeypatch,
+                                                capsys):
+        """Every successful rung emits a parseable metric line, each one a
+        superset of the record before it (kill-at-any-point safety)."""
+        def rung(n, segs, q):
+            if n == bench.N_FULL:
+                return FakeProc(returncode=1, stderr="would not allocate")
+            return FakeProc(stdout=f"RUNG {n} {1e-9 * n:.9f}\n")
+
+        res, lines = run_main(monkeypatch, capsys, rung)
+        # 6 successful rungs -> 6 provisionals + the final repeat
+        assert len(lines) == 7
+        for m in lines:
+            assert set(m) == {"metric", "value", "unit", "vs_baseline"}
+            assert m["unit"] == "qps"
+        assert "slope_extrapolated" in res["metric"]
 
     def test_extrapolates_when_full_rung_fails(self, fast, monkeypatch,
                                                capsys):
@@ -117,7 +215,7 @@ class TestLadder:
                 return FakeProc(returncode=1, stderr="would not allocate")
             return FakeProc(stdout=f"RUNG {n} {1e-9 * n:.9f}\n")
 
-        res = run_main(monkeypatch, capsys, rung)
+        res, _ = run_main(monkeypatch, capsys, rung)
         assert "slope_extrapolated" in res["metric"]
         assert all(q == bench.Q_CHIP for _, _, q in calls)
         n_meas = 7_736_595
@@ -126,13 +224,58 @@ class TestLadder:
         assert res["vs_baseline"] == round(
             bench.Q_GLOBAL / t_full / 10_000.0, 3)
 
+    def test_top_rung_timeout_still_emits_metric(self, fast, monkeypatch,
+                                                 capsys):
+        """A hung/killed top-rung subprocess stops escalation but the
+        record (extrapolated) still lands."""
+        def rung(n, segs, q):
+            if n == bench.N_FULL:
+                raise subprocess.TimeoutExpired(cmd="rung", timeout=1)
+            return FakeProc(stdout=f"RUNG {n} {1e-9 * n:.9f}\n")
+
+        res, _ = run_main(monkeypatch, capsys, rung)
+        assert "slope_extrapolated" in res["metric"]
+
+    def test_budget_exhaustion_finalizes_early(self, clock, monkeypatch,
+                                               capsys):
+        """The r3 failure mode: the top rung's proven build fails and the
+        1200s reclaim settle no longer fits — the run must finalize with
+        the extrapolated record instead of sleeping past the driver's
+        wall clock."""
+        with open(bench.STATE_PATH, "w") as f:
+            json.dump({"proven_segs": {str(bench.N_FULL): 4}}, f)
+        monkeypatch.setattr(bench, "BUDGET_S", 1800.0)
+        calls = []
+
+        def rung(n, segs, q):
+            calls.append((n, segs, q))
+            if n == bench.N_FULL and segs == 4:
+                return FakeProc(returncode=1, stderr="would not allocate")
+            return FakeProc(stdout=f"RUNG {n} {1e-9 * n:.9f}\n")
+
+        res, _ = run_main(monkeypatch, capsys, rung, clock)
+        assert "slope_extrapolated" in res["metric"]
+        # the 8-segment retry was skipped for budget, not attempted
+        full = [c for c in calls if c[0] == bench.N_FULL]
+        assert [c[1] for c in full] == [4]
+        assert clock.t <= 1800.0 + bench.RUNG_TIMEOUT_S
+
+    def test_budget_skips_unaffordable_rungs(self, clock, monkeypatch,
+                                             capsys):
+        """A tiny budget measures what fits and still emits a metric."""
+        monkeypatch.setattr(bench, "BUDGET_S", 400.0)
+
+        def rung(n, segs, q):
+            return FakeProc(stdout=f"RUNG {n} {1e-9 * n:.9f}\n")
+
+        res, lines = run_main(monkeypatch, capsys, rung, clock)
+        assert "slope_extrapolated" in res["metric"]
+        assert len(lines) >= 2  # at least one rung + final
+
     def test_no_rung_fits_raises(self, fast, monkeypatch, capsys):
         def rung(n, segs, q):
             return FakeProc(returncode=1, stderr="would not allocate")
 
-        def fake_run(cmd, capture_output=True, text=True, timeout=0):
-            return rung(*_parse_cmd(cmd))
-
-        monkeypatch.setattr(subprocess, "run", fake_run)
+        install_rungs(monkeypatch, rung)
         with pytest.raises(SystemExit):
             bench.main()
