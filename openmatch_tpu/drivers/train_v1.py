@@ -1,6 +1,10 @@
 """Train a v1-family reranker (KNRM/Conv-KNRM/TK/EDRM/Bert).
 
-Reference: /root/reference/v1/train.py. Example:
+Reference: /root/reference/v1/train.py, including the ``-reinfoselect``
+data-selection training mode (flag at train.py:423, policy construction
+at :691-698, loop at :55-265) and its ``-reset``/``-tau`` knobs.
+
+Example:
 
     python -m openmatch_tpu.drivers.train_v1 \
         -model knrm -task ranking -ranking_loss margin_loss \
@@ -21,6 +25,7 @@ import numpy as np
 
 from ..config import TrainingArguments
 from ..data.loader import batched
+from ..train.reinfoselect_trainer import ReInfoSelectTrainer
 from ..train.v1_trainer import V1Trainer, predict_scores
 from ..utils.metrics import evaluate_run, load_qrels
 from ..utils.trec import save_as_trec
@@ -127,6 +132,24 @@ def build_v1_model_and_collators(args, tokenizer):
     return model, params, word_score_fn(model), make_collator
 
 
+def build_policy(args, tokenizer):
+    """ReInfoSelect keep/drop policy: a ConvKNRM with a 2-class head over
+    the positive pair, sharing the ranker's vocabulary and pretrained
+    embeddings (reference /root/reference/v1/train.py:691-698)."""
+    vocab_size = tokenizer.get_vocab_size()
+    embed_dim = tokenizer.get_embed_dim() if tokenizer.get_embed_dim() > 0 else args.embed_dim
+    policy = ConvKNRM(vocab_size=vocab_size, embed_dim=embed_dim, task="classification")
+    ids = jnp.zeros((1, args.max_query_len), jnp.int32)
+    mask = jnp.ones((1, args.max_query_len), jnp.float32)
+    d_ids = jnp.zeros((1, args.max_doc_len), jnp.int32)
+    d_mask = jnp.ones((1, args.max_doc_len), jnp.float32)
+    params = policy.init(jax.random.PRNGKey(args.seed + 1), ids, mask, d_ids, d_mask)["params"]
+    if tokenizer.get_embed_matrix() is not None:
+        params = dict(params)
+        params["embedder"] = {"embedding": jnp.asarray(np.asarray(tokenizer.get_embed_matrix(), np.float32))}
+    return policy, params
+
+
 def word_score_fn(model):
     def fn(params, batch):
         score, _ = model.apply(
@@ -165,6 +188,16 @@ def main(argv=None):
     parser.add_argument("-eval_every", type=int, default=1000)
     parser.add_argument("-seed", type=int, default=42)
     parser.add_argument("-max_input", type=int, default=1_280_000)
+    parser.add_argument("-reinfoselect", action="store_true", default=False,
+                        help="ReInfoSelect data-selection mode (reference "
+                             "train.py:423): a ConvKNRM classification policy "
+                             "picks which pairs train the ranker, updated by "
+                             "REINFORCE on the dev-metric delta")
+    parser.add_argument("-reset", action="store_true", default=False,
+                        help="reload the best checkpoint after each policy "
+                             "refresh (reference train.py:259-262)")
+    parser.add_argument("-tau", type=float, default=1.0,
+                        help="gumbel-softmax temperature (reference train.py:446)")
     args = parser.parse_args(argv)
 
     tokenizer = WordTokenizer(vocab=args.vocab, pretrained=args.pretrain)
@@ -180,8 +213,19 @@ def main(argv=None):
         logging_steps=max(args.eval_every, 1), eval_steps=args.eval_every,
         save_steps=0, seed=args.seed, margin=1.0,
     )
-    trainer = V1Trainer(score_fn, params, train_args, total_steps,
-                        task=args.task, ranking_loss_kind=args.ranking_loss)
+    if args.reinfoselect:
+        if not (args.dev and args.qrels):
+            raise ValueError("-reinfoselect needs -dev and -qrels: the policy's "
+                             "REINFORCE reward is the dev-metric delta")
+        policy, policy_params = build_policy(args, tokenizer)
+        trainer = ReInfoSelectTrainer(
+            score_fn, params, word_score_fn(policy), policy_params,
+            train_args, total_steps, task=args.task,
+            ranking_loss_kind=args.ranking_loss, tau=args.tau, reset=args.reset,
+        )
+    else:
+        trainer = V1Trainer(score_fn, params, train_args, total_steps,
+                            task=args.task, ranking_loss_kind=args.ranking_loss)
 
     eval_fn = None
     if args.dev and args.qrels:
@@ -202,7 +246,12 @@ def main(argv=None):
         for _ in range(args.epoch):
             yield from batched(iter(train_set), args.batch_size, train_collator, drop_last=True)
 
-    out = trainer.train(data_iter(), eval_fn=eval_fn)
+    if args.reinfoselect:
+        out = trainer.train(data_iter(), eval_fn)
+        rates = out["keep_rates"]
+        print(f"keep-rate {np.mean(rates):.2f} over {len(rates)} selection steps")
+    else:
+        out = trainer.train(data_iter(), eval_fn=eval_fn)
     trainer.save_checkpoint(args.save)
     if eval_fn is not None:
         eval_fn(trainer)
