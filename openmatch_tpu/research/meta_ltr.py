@@ -62,14 +62,22 @@ def make_meta_train_step(
     per_example_loss_fn: Callable,
     dev_loss_fn: Callable,
     virtual_lr: float = 1e-3,
+    schedule: Callable = None,
 ):
     """Build a jittable (state, train_batch, dev_batch) -> (state, loss, w)
-    step applying the reweighted gradient."""
+    step applying the reweighted gradient.
+
+    ``schedule(step) -> lr`` overrides ``virtual_lr`` with the live
+    learning rate, matching the reference's virtual step at the
+    scheduler's current lr (meta_dist_train.py:436,
+    ``convert2delta(..., lr=m_scheduler.get_last_lr()[0])``)."""
 
     def step(state, train_batch, dev_batch):
+        vlr = schedule(state.step) if schedule is not None else virtual_lr
+
         def loss_fn(p):
             weights, weighted = meta_reweight_step(
-                p, per_example_loss_fn, dev_loss_fn, train_batch, dev_batch, virtual_lr
+                p, per_example_loss_fn, dev_loss_fn, train_batch, dev_batch, vlr
             )
             return weighted, weights
 

@@ -52,12 +52,20 @@ class KernelMatcher:
         v_mask = v_mask.astype(v_embed.dtype)
         k_embed = k_embed * k_mask[..., None]
         v_embed = v_embed * v_mask[..., None]
-        k_norm = k_embed / jnp.clip(
-            jnp.linalg.norm(k_embed, axis=-1, keepdims=True), 1e-10, None
-        )
-        v_norm = v_embed / jnp.clip(
-            jnp.linalg.norm(v_embed, axis=-1, keepdims=True), 1e-10, None
-        )
+
+        def normalize(x):
+            # double-where safe norm: sqrt'(0) is inf, so clamping the
+            # norm AFTER sqrt leaves a NaN in the cotangent of zero
+            # (padding) rows — harmless at first order only because the
+            # mask multiplies it out downstream, but fatal for the
+            # meta-LTR second-order path (grad-of-grad through this
+            # matcher). Values are unchanged: zero rows still map to 0.
+            sq = jnp.sum(x * x, axis=-1, keepdims=True)
+            norm = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+            return jnp.where(sq > 0, x / norm, 0.0)
+
+        k_norm = normalize(k_embed)
+        v_norm = normalize(v_embed)
         inter = jnp.einsum("bqd,bvd->bqv", k_norm, v_norm,
                            preferred_element_type=jnp.float32)
         inter = inter * (k_mask[:, :, None] * v_mask[:, None, :])
