@@ -28,6 +28,14 @@ def setup_logging():
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
         level=os.environ.get("OPENMATCH_LOG_LEVEL", "INFO"),
     )
+    if os.environ.get("OPENMATCH_FORCE_CPU"):
+        # the axon TPU plugin force-appends itself to jax_platforms, so
+        # JAX_PLATFORMS=cpu alone is ignored; this knob lets any driver
+        # run CPU-only (smoke tests, scripts/perf/pipeline_e2e.py --cpu)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        return  # CPU graphs compile in seconds; skip the cache
     enable_compilation_cache()
 
 
