@@ -623,7 +623,15 @@ def fused_plain_gmax(
                          memory_space=pltpu.VMEM),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            # no grid step carries state, so "parallel" is semantically
+            # valid for both dims; the default stays "arbitrary" because
+            # the r4 roofline probe measured parallel as a wash (see
+            # docs/performance.md). Like OPENMATCH_SEG_*, the env knob is
+            # read at trace time — set it at process start only.
+            dimension_semantics=(
+                ("parallel", "parallel")
+                if os.environ.get("OPENMATCH_GMAX_PARALLEL", "0") not in ("", "0")
+                else ("arbitrary", "arbitrary")),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Qp * n_tiles * tile_g * GROUP * D,

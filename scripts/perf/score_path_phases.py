@@ -105,6 +105,37 @@ def main():
         dt = (time.time() - t0) / iters
         print(f"{phase} fused_plain_gmax(emit_l1={emit}): {dt * 1000:.1f} ms",
               flush=True)
+    elif phase == "a3tile":
+        # roofline probe for the gmax corpus stream (VERDICT r4 #6):
+        # argv[5] = tile_g (corpus blocks per grid step; default 256).
+        # Prints ms AND achieved corpus-stream GB/s vs the ~819 GB/s v5e
+        # HBM peak. Combine with OPENMATCH_GMAX_PARALLEL=1 (process
+        # start) to probe "parallel" grid semantics.
+        from openmatch_tpu.ops.pallas_mips import fused_plain_gmax
+
+        tile_g = int(sys.argv[5]) if len(sys.argv) > 5 else 256
+        plain = jr.normal(jr.PRNGKey(0), (NBp * GROUP, D), jnp.bfloat16)
+        q = jr.normal(jr.PRNGKey(1), (Q, D), jnp.bfloat16)
+        iters = 8
+
+        @jax.jit
+        def loop(q, plain):
+            def body(i, carry):
+                g, _ = fused_plain_gmax(q + carry, plain, tile_g=tile_g,
+                                        emit_l1=8, nb_valid=NB)
+                return carry + g[0, 0].astype(jnp.bfloat16) * jnp.bfloat16(1e-30)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.bfloat16(0.0))
+
+        np.asarray(loop(q, plain))
+        t0 = time.time()
+        np.asarray(loop(q, plain))
+        dt = (time.time() - t0) / iters
+        stream_gb = NBp * GROUP * D * 2 / 1e9
+        print(f"a3tile tile_g={tile_g}: {dt * 1000:.1f} ms, "
+              f"corpus stream {stream_gb / dt:.0f} GB/s "
+              f"({stream_gb / dt / 819 * 100:.0f}% of v5e HBM peak)",
+              flush=True)
     elif phase in ("sel", "sell1"):
         # loop-amortized (27 ms/dispatch would swamp a ~6 ms phase);
         # sell1 = selection fed a PRECOMPUTED level-1 (what the fused
