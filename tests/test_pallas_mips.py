@@ -173,6 +173,25 @@ class TestPlainGmaxKernel:
         np.testing.assert_allclose(np.asarray(l1), ref_l1, rtol=1e-5,
                                    atol=1e-5)
 
+    def test_parallel_semantics_knob(self, interpret_pallas, monkeypatch):
+        """OPENMATCH_GMAX_PARALLEL=1 (the r4 roofline probe's grid-
+        semantics switch) must stay exact — no grid step carries state,
+        so parallel semantics cannot change results."""
+        from openmatch_tpu.ops.pallas_mips import fused_plain_gmax
+
+        monkeypatch.setenv("OPENMATCH_GMAX_PARALLEL", "1")
+        rng = np.random.RandomState(8)
+        N, D, Q = 2048 * 2, 128, 8
+        plain = jnp.array(rng.randn(N, D).astype(np.float32))
+        q = jnp.array(rng.randn(Q, D).astype(np.float32))
+        g, l1 = fused_plain_gmax(q, plain, tile_g=128, tile_q=8,
+                                 emit_l1=8, nb_valid=N // 8)
+        ref = (np.asarray(q) @ np.asarray(plain).T).reshape(Q, N // 8, 8).max(-1)
+        np.testing.assert_allclose(np.asarray(g), ref, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(l1), ref.reshape(Q, N // 64, 8).max(-1),
+            rtol=1e-5, atol=1e-5)
+
 
 class TestSelectGroupsL1:
     def test_precomputed_l1_matches(self):
