@@ -32,6 +32,45 @@ jax.config.update("jax_enable_compilation_cache", False)
 
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# fast/slow split (VERDICT r3 next #9): `pytest -m "not slow"` is the
+# default dev loop (<8 min); the full 310 keep running in CI-equivalent
+# mode (`pytest tests/ -q`, ~24 min, dominated by SPMD train-step
+# compiles and interpret-mode Pallas). Centralized here instead of
+# per-file decorators so the list is re-tunable from one `--durations`
+# run; entries are nodeid substrings (a trailing "::" marks a class).
+# Measured r4: the marked set is ~1050 s of the 1454 s total.
+# ---------------------------------------------------------------------------
+_SLOW_NODEID_PARTS = (
+    "test_pallas_mips.py::TestBlockTopk::",
+    "test_training.py::TestDropoutTraining::",
+    "test_training.py::TestGradCache",
+    "test_training.py::TestDRTrainer::test_checkpoint_resume",
+    "test_training.py::TestDRTrainer::test_global_negatives_semantics",
+    "test_training.py::TestDRTrainer::test_loss_decreases[grad_cache]",
+    "test_training.py::TestDRTrainer::test_loss_decreases[global]",
+    "test_mips.py::TestQueryShardedSearch::test_searcher_query_partition_segmented_pallas",
+    "test_mips.py::TestShardedSearch::test_searcher_segmented_pallas_index",
+    "test_reinfoselect_mode.py::TestCLI::test_train_v1_reinfoselect_end_to_end",
+    "test_reinfoselect_mode.py::TestTrainerLoop::",
+    "test_meta_train_mode.py::TestCLI::",
+    "test_meta_train_mode.py::TestMetaTrainer::",
+    "test_long_doc.py::TestEDRMEndToEnd::",
+    "test_losses.py::TestDualContrastive::test_trainer_flag",
+    "test_mesh.py::TestShardBatchMultiHost::test_trainer_step_unchanged_under_multihost_path",
+    "test_tp.py::TestTPTraining::",
+    "test_rr_model.py::TestLengthBucketedRerank::test_mixed_length_run_matches_direct",
+    "test_ance.py::TestAlternating::test_refresh_improves_and_swaps",
+    "test_qg.py::TestSynthesisPipeline::test_pipeline_produces_trainable_jsonl",
+    "test_qg.py::TestQGTrainingAndGeneration::test_overfits_and_generates_memorized_target",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(part in item.nodeid for part in _SLOW_NODEID_PARTS):
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_per_module():
