@@ -42,9 +42,16 @@ def main(argv=None):
     parser.add_argument("-max_doc_len", type=int, default=256)
     parser.add_argument("-batch_size", type=int, default=32)
     parser.add_argument("-seed", type=int, default=42)
+    parser.add_argument("-bert_mode", default="cls", choices=["cls", "pooling"],
+                        help="BertRanker rep for -model bert")
     args = parser.parse_args(argv)
 
-    tokenizer = WordTokenizer(vocab=args.vocab, pretrained=args.pretrain)
+    if args.model == "bert":
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(args.vocab or args.pretrain)
+    else:
+        tokenizer = WordTokenizer(vocab=args.vocab, pretrained=args.pretrain)
     model, params, score_fn, make_collator = build_v1_model_and_collators(args, tokenizer)
     from ..config import TrainingArguments
 

@@ -25,7 +25,6 @@ import argparse
 import os
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import TrainingArguments
@@ -35,9 +34,8 @@ from ..train.v1_trainer import predict_scores
 from ..utils.metrics import evaluate_run, load_qrels
 from ..utils.trec import save_as_trec
 from ..v1.dataset import BertPairCollator, V1Dataset, WordCollator
-from ..v1.models import BertRanker
 from ..v1.tokenizer import WordTokenizer
-from .train_v1 import build_v1_model_and_collators
+from .train_v1 import build_bert_ranker, build_v1_model_and_collators
 
 
 def build_bert_model(args):
@@ -45,21 +43,9 @@ def build_bert_model(args):
     driver is bert-only, meta_dist_train.py:318-322)."""
     from transformers import AutoTokenizer
 
-    from ..models.hf_convert import load_bert_encoder
-
     tokenizer = AutoTokenizer.from_pretrained(args.vocab)
-    config, enc_params = load_bert_encoder(args.pretrain or args.vocab)
-    model = BertRanker(config=config, mode=args.mode, task=args.task)
-    ids = jnp.zeros((1, 8), jnp.int32)
-    mask = jnp.ones((1, 8), jnp.int32)
-    init_params = model.init(jax.random.PRNGKey(args.seed), ids, mask, ids * 0)["params"]
-    params = dict(init_params)
-    params["bert"] = jax.tree.map(jnp.asarray, enc_params)
-
-    def score_fn(p, batch):
-        s, _ = model.apply({"params": p}, batch["input_ids"],
-                           batch["input_mask"], batch["segment_ids"])
-        return s
+    model, params, score_fn = build_bert_ranker(
+        args.pretrain or args.vocab, args.mode, args.task, args.seed)
 
     def make_collator(mode):
         return BertPairCollator(tokenizer, args.max_query_len, args.max_doc_len,

@@ -29,9 +29,9 @@ from ..train.reinfoselect_trainer import ReInfoSelectTrainer
 from ..train.v1_trainer import V1Trainer, predict_scores
 from ..utils.metrics import evaluate_run, load_qrels
 from ..utils.trec import save_as_trec
-from ..v1.dataset import V1Dataset, WordCollator
+from ..v1.dataset import BertPairCollator, V1Dataset, WordCollator
 from ..v1.long_doc import EDRMCollator
-from ..v1.models import EDRM, KNRM, TK, ConvKNRM
+from ..v1.models import EDRM, KNRM, TK, BertRanker, ConvKNRM
 from ..v1.tokenizer import WordTokenizer
 
 
@@ -103,12 +103,47 @@ def edrm_score_fn(model):
     return fn
 
 
+def build_bert_ranker(pretrain: str, mode: str, task: str, seed: int = 42):
+    """(model, params, score_fn) — BertRanker over a pretrained HF
+    checkpoint (reference v1/train.py:625-642: om.models.Bert)."""
+    from ..models.hf_convert import load_bert_encoder
+
+    config, enc_params = load_bert_encoder(pretrain)
+    model = BertRanker(config=config, mode=mode, task=task)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    mask = jnp.ones((1, 8), jnp.int32)
+    init_params = model.init(jax.random.PRNGKey(seed), ids, mask, ids * 0)["params"]
+    params = dict(init_params)
+    params["bert"] = jax.tree.map(jnp.asarray, enc_params)
+
+    def score_fn(p, batch):
+        s, _ = model.apply({"params": p}, batch["input_ids"],
+                           batch["input_mask"], batch["segment_ids"])
+        return s
+
+    return model, params, score_fn
+
+
 def build_v1_model_and_collators(args, tokenizer):
-    """(model, params, score_fn, make_collator) for a word-level v1 model.
+    """(model, params, score_fn, make_collator) for a v1 model.
 
     make_collator(mode) builds the matching collator; EDRM needs the
     entity-aware one (reference v1/train.py:176-194 routes edrm batches
-    through the extra entity tensors)."""
+    through the extra entity tensors); bert is a cross-encoder over
+    [CLS] q [SEP] d [SEP] inputs (``tokenizer`` is then an HF
+    tokenizer, not the WordTokenizer)."""
+    if args.model == "bert":
+        if not getattr(args, "pretrain", None):
+            raise ValueError("-model bert requires -pretrain (HF checkpoint dir)")
+        model, params, score_fn = build_bert_ranker(
+            args.pretrain, getattr(args, "bert_mode", "cls"), args.task, args.seed)
+
+        def make_collator(mode):
+            return BertPairCollator(tokenizer, args.max_query_len,
+                                    args.max_doc_len, mode=mode, task=args.task)
+
+        return model, params, score_fn, make_collator
+
     if args.model == "edrm":
         if not getattr(args, "ent_vocab", None):
             raise ValueError("-model edrm requires -ent_vocab (entity vocab file)")
@@ -198,9 +233,17 @@ def main(argv=None):
                              "refresh (reference train.py:259-262)")
     parser.add_argument("-tau", type=float, default=1.0,
                         help="gumbel-softmax temperature (reference train.py:446)")
+    parser.add_argument("-bert_mode", default="cls", choices=["cls", "pooling"],
+                        help="BertRanker rep (reference -mode, train.py:436; "
+                             "renamed to avoid the dataset-mode flag)")
     args = parser.parse_args(argv)
 
-    tokenizer = WordTokenizer(vocab=args.vocab, pretrained=args.pretrain)
+    if args.model == "bert":
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(args.vocab or args.pretrain)
+    else:
+        tokenizer = WordTokenizer(vocab=args.vocab, pretrained=args.pretrain)
     model, params, score_fn, make_collator = build_v1_model_and_collators(args, tokenizer)
 
     train_set = V1Dataset(args.train, mode="train", task=args.task, max_input=args.max_input)
@@ -217,9 +260,15 @@ def main(argv=None):
         if not (args.dev and args.qrels):
             raise ValueError("-reinfoselect needs -dev and -qrels: the policy's "
                              "REINFORCE reward is the dev-metric delta")
-        policy, policy_params = build_policy(args, tokenizer)
+        if args.model == "bert":
+            # bert policy = Bert classification head, reference train.py:637-642
+            _, policy_params, policy_score_fn = build_bert_ranker(
+                args.pretrain, args.bert_mode, "classification", args.seed + 1)
+        else:
+            policy, policy_params = build_policy(args, tokenizer)
+            policy_score_fn = word_score_fn(policy)
         trainer = ReInfoSelectTrainer(
-            score_fn, params, word_score_fn(policy), policy_params,
+            score_fn, params, policy_score_fn, policy_params,
             train_args, total_steps, task=args.task,
             ranking_loss_kind=args.ranking_loss, tau=args.tau, reset=args.reset,
         )

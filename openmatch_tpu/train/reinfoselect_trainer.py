@@ -56,9 +56,22 @@ def per_pair_ranking_loss(pos_scores, neg_scores, kind: str, margin: float = 1.0
 
 
 def policy_inputs_from_batch(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
-    """The policy scores the POSITIVE pair (train.py:80-109): word-channel
-    query/doc tensors for word models and EDRM (the reference's ConvKNRM
-    policy consumes only the word channel, train.py:94-98)."""
+    """The policy scores the POSITIVE pair (train.py:80-109): cross-encoder
+    inputs for bert batches (train.py:80), word-channel query/doc tensors
+    for word models and EDRM (the reference's ConvKNRM policy consumes
+    only the word channel, train.py:94-98)."""
+    if "pos_input_ids" in batch:  # bert ranking batch
+        return {
+            "input_ids": batch["pos_input_ids"],
+            "input_mask": batch["pos_input_mask"],
+            "segment_ids": batch["pos_segment_ids"],
+        }
+    if "input_ids" in batch:  # bert classification batch (train.py:82)
+        return {
+            "input_ids": batch["input_ids"],
+            "input_mask": batch["input_mask"],
+            "segment_ids": batch["segment_ids"],
+        }
     if "query_wrd_idx" in batch:  # EDRM batch
         return {
             "query_idx": batch["query_wrd_idx"],

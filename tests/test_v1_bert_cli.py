@@ -1,0 +1,95 @@
+"""-model bert through the v1 train/inference CLIs (reference
+v1/train.py:625-642 builds om.models.Bert; the repo previously exposed
+BertRanker only as a library model)."""
+
+import json
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_bert(tmp_path_factory):
+    from transformers import BertConfig as HFBertConfig, BertModel, BertTokenizerFast
+
+    d = tmp_path_factory.mktemp("v1bert")
+    ckpt = d / "ckpt"
+    cfg = HFBertConfig(vocab_size=32, hidden_size=16, num_hidden_layers=1,
+                       num_attention_heads=2, intermediate_size=32,
+                       max_position_embeddings=64)
+    BertModel(cfg).save_pretrained(ckpt)
+    vocab = d / "vocab.txt"
+    vocab.write_text("\n".join(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "apple", "fruit",
+         "stone", "rock", "banana"] + [f"w{i}" for i in range(22)]))
+    BertTokenizerFast(vocab_file=str(vocab)).save_pretrained(ckpt)
+    return str(ckpt)
+
+
+def _files(tmp_path):
+    rows = [{"query": "apple fruit", "doc_pos": "apple apple fruit",
+             "doc_neg": "stone rock"} for _ in range(8)]
+    train = tmp_path / "train.jsonl"
+    train.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    dev_rows = [
+        {"label": 1, "query_id": "q1", "doc_id": "dp", "retrieval_score": 1.0,
+         "query": "apple fruit", "doc": "apple apple fruit"},
+        {"label": 0, "query_id": "q1", "doc_id": "dn", "retrieval_score": 0.5,
+         "query": "apple fruit", "doc": "stone rock"},
+    ]
+    dev = tmp_path / "dev.jsonl"
+    dev.write_text("\n".join(json.dumps(r) for r in dev_rows) + "\n")
+    qrels = tmp_path / "qrels"
+    qrels.write_text("q1 0 dp 1\nq1 0 dn 0\n")
+    return str(train), str(dev), str(qrels)
+
+
+@pytest.mark.slow
+class TestBertCLI:
+    def test_train_and_inference(self, tiny_bert, tmp_path, capsys):
+        from openmatch_tpu.drivers import inference_v1, train_v1
+
+        train, dev, qrels = _files(tmp_path)
+        res = tmp_path / "res.trec"
+        train_v1.main([
+            "-model", "bert", "-task", "ranking",
+            "-ranking_loss", "margin_loss", "-pretrain", tiny_bert,
+            "-train", train, "-dev", dev, "-qrels", qrels,
+            "-save", str(tmp_path / "ckpt"), "-res", str(res),
+            "-max_query_len", "4", "-max_doc_len", "8",
+            "-epoch", "2", "-batch_size", "8", "-lr", "0.001",
+            "-eval_every", "2",
+        ])
+        assert res.exists() and res.read_text().strip()
+        assert (tmp_path / "ckpt" / "train_state.msgpack").exists()
+
+        res2 = tmp_path / "res2.trec"
+        inference_v1.main([
+            "-model", "bert", "-task", "ranking", "-pretrain", tiny_bert,
+            "-test", dev, "-mode", "dev",
+            "-checkpoint", str(tmp_path / "ckpt"), "-res", str(res2),
+            "-max_query_len", "4", "-max_doc_len", "8",
+        ])
+        lines = res2.read_text().strip().splitlines()
+        assert lines and all(len(l.split()) == 6 for l in lines)
+
+    def test_bert_reinfoselect(self, tiny_bert, tmp_path, capsys):
+        """-model bert -reinfoselect uses a Bert classification policy
+        (reference train.py:637-642)."""
+        from openmatch_tpu.drivers import train_v1
+
+        train, dev, qrels = _files(tmp_path)
+        res = tmp_path / "res.trec"
+        train_v1.main([
+            "-model", "bert", "-task", "ranking",
+            "-ranking_loss", "margin_loss", "-reinfoselect",
+            "-pretrain", tiny_bert,
+            "-train", train, "-dev", dev, "-qrels", qrels,
+            "-save", str(tmp_path / "ckpt"), "-res", str(res),
+            "-max_query_len", "4", "-max_doc_len", "8",
+            "-epoch", "2", "-batch_size", "8", "-lr", "0.001",
+            "-eval_every", "2",
+        ])
+        out = capsys.readouterr().out
+        assert "keep-rate" in out
+        assert (tmp_path / "ckpt" / "best" / "train_state.msgpack").exists()
