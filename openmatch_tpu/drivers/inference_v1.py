@@ -44,6 +44,8 @@ def main(argv=None):
     parser.add_argument("-seed", type=int, default=42)
     parser.add_argument("-bert_mode", default="cls", choices=["cls", "pooling"],
                         help="BertRanker rep for -model bert")
+    parser.add_argument("-maxp", action="store_true", default=False,
+                        help="BertMaxP chunk-and-maxpool long-doc scoring")
     args = parser.parse_args(argv)
 
     if args.model == "bert":

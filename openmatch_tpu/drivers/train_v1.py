@@ -103,15 +103,23 @@ def edrm_score_fn(model):
     return fn
 
 
-def build_bert_ranker(pretrain: str, mode: str, task: str, seed: int = 42):
-    """(model, params, score_fn) — BertRanker over a pretrained HF
-    checkpoint (reference v1/train.py:625-642: om.models.Bert)."""
+def build_bert_ranker(pretrain: str, mode: str, task: str, seed: int = 42,
+                      maxp: bool = False, num_passages: int = 4):
+    """(model, params, score_fn) — BertRanker (or BertMaxP when ``maxp``,
+    reference v1/train.py:623-630) over a pretrained HF checkpoint
+    (reference v1/train.py:625-642: om.models.Bert)."""
     from ..models.hf_convert import load_bert_encoder
+    from ..v1.models import BertMaxP
 
     config, enc_params = load_bert_encoder(pretrain)
-    model = BertRanker(config=config, mode=mode, task=task)
-    ids = jnp.zeros((1, 8), jnp.int32)
-    mask = jnp.ones((1, 8), jnp.int32)
+    if maxp:
+        model = BertMaxP(config=config, num_passages=num_passages,
+                         mode=mode, task=task)
+        ids = jnp.zeros((1, num_passages, 8), jnp.int32)
+    else:
+        model = BertRanker(config=config, mode=mode, task=task)
+        ids = jnp.zeros((1, 8), jnp.int32)
+    mask = jnp.ones_like(ids)
     init_params = model.init(jax.random.PRNGKey(seed), ids, mask, ids * 0)["params"]
     params = dict(init_params)
     params["bert"] = jax.tree.map(jnp.asarray, enc_params)
@@ -135,10 +143,18 @@ def build_v1_model_and_collators(args, tokenizer):
     if args.model == "bert":
         if not getattr(args, "pretrain", None):
             raise ValueError("-model bert requires -pretrain (HF checkpoint dir)")
+        maxp = bool(getattr(args, "maxp", False))
         model, params, score_fn = build_bert_ranker(
-            args.pretrain, getattr(args, "bert_mode", "cls"), args.task, args.seed)
+            args.pretrain, getattr(args, "bert_mode", "cls"), args.task,
+            args.seed, maxp=maxp)
 
         def make_collator(mode):
+            if maxp:
+                from ..v1.long_doc import BertMaxPCollator
+
+                return BertMaxPCollator(tokenizer, args.max_query_len,
+                                        args.max_doc_len, mode=mode,
+                                        task=args.task)
             return BertPairCollator(tokenizer, args.max_query_len,
                                     args.max_doc_len, mode=mode, task=args.task)
 
@@ -236,7 +252,13 @@ def main(argv=None):
     parser.add_argument("-bert_mode", default="cls", choices=["cls", "pooling"],
                         help="BertRanker rep (reference -mode, train.py:436; "
                              "renamed to avoid the dataset-mode flag)")
+    parser.add_argument("-maxp", action="store_true", default=False,
+                        help="BertMaxP chunk-and-maxpool long-doc scoring "
+                             "(reference train.py:623-630)")
     args = parser.parse_args(argv)
+    if args.maxp and args.reinfoselect:
+        raise ValueError("-maxp and -reinfoselect cannot combine (the policy "
+                         "scores flat cross-encoder inputs)")
 
     if args.model == "bert":
         from transformers import AutoTokenizer

@@ -26,15 +26,23 @@ def split_doc_tokens(doc_tokens: List[int], max_doc_len: int, num_passages: int 
 
 class BertMaxPCollator:
     """[{query, doc}] → input_ids/input_mask/segment_ids of shape
-    [B, num_passages, q_len + doc_len + 3]."""
+    [B, num_passages, q_len + doc_len + 3].
+
+    ``mode="train"`` with ranking examples ({query, doc_pos, doc_neg})
+    instead emits pos_/neg_ prefixed tensor pairs (the reference
+    BertMaxPDataset train collate,
+    v1/OpenMatch/data/datasets/bert_maxp_dataset.py), letting BertMaxP
+    train through the v1 pairwise loop (-maxp, v1/train.py:623-630)."""
 
     def __init__(self, tokenizer, max_query_len: int = 32, max_doc_len: int = 221,
-                 num_passages: int = 4):
+                 num_passages: int = 4, mode: str = "dev", task: str = "ranking"):
         self.tokenizer = tokenizer
         self.q_len = max_query_len
         self.d_len = max_doc_len
         self.num_passages = num_passages
         self.seq_len = max_query_len + max_doc_len + 3
+        self.mode = mode
+        self.task = task
 
     def _encode_window(self, q_tokens: List[int], d_tokens: List[int]):
         tok = self.tokenizer
@@ -51,12 +59,12 @@ class BertMaxPCollator:
             seg + [0] * pad,
         )
 
-    def __call__(self, batch: List[dict]) -> Dict[str, np.ndarray]:
+    def _doc_tensors(self, batch: List[dict], doc_key: str):
         tok = self.tokenizer
         all_ids, all_mask, all_seg = [], [], []
         for ex in batch:
             q_tokens = tok.encode(ex["query"], add_special_tokens=False)
-            d_tokens = tok.encode(ex["doc"], add_special_tokens=False)
+            d_tokens = tok.encode(ex[doc_key], add_special_tokens=False)
             rows = [
                 self._encode_window(q_tokens, window)
                 for window in split_doc_tokens(d_tokens, self.d_len, self.num_passages)
@@ -64,11 +72,21 @@ class BertMaxPCollator:
             all_ids.append([r[0] for r in rows])
             all_mask.append([r[1] for r in rows])
             all_seg.append([r[2] for r in rows])
-        out = {
+        return {
             "input_ids": np.asarray(all_ids, np.int32),
             "input_mask": np.asarray(all_mask, np.int32),
             "segment_ids": np.asarray(all_seg, np.int32),
         }
+
+    def __call__(self, batch: List[dict]) -> Dict[str, np.ndarray]:
+        if self.mode == "train" and self.task == "ranking":
+            out: Dict[str, np.ndarray] = {}
+            out.update({f"pos_{k}": v
+                        for k, v in self._doc_tensors(batch, "doc_pos").items()})
+            out.update({f"neg_{k}": v
+                        for k, v in self._doc_tensors(batch, "doc_neg").items()})
+            return out
+        out = self._doc_tensors(batch, "doc")
         if "label" in batch[0]:
             out["label"] = np.asarray([e["label"] for e in batch], np.int32)
         if "query_id" in batch[0]:

@@ -73,6 +73,32 @@ class TestBertCLI:
         lines = res2.read_text().strip().splitlines()
         assert lines and all(len(l.split()) == 6 for l in lines)
 
+    def test_maxp_train_and_inference(self, tiny_bert, tmp_path):
+        """-maxp trains BertMaxP on pairwise windows and scores dev docs
+        (reference train.py:623-630 + BertMaxPDataset collate)."""
+        from openmatch_tpu.drivers import inference_v1, train_v1
+
+        train, dev, qrels = _files(tmp_path)
+        res = tmp_path / "res.trec"
+        train_v1.main([
+            "-model", "bert", "-maxp", "-task", "ranking",
+            "-ranking_loss", "margin_loss", "-pretrain", tiny_bert,
+            "-train", train, "-dev", dev, "-qrels", qrels,
+            "-save", str(tmp_path / "ckpt"), "-res", str(res),
+            "-max_query_len", "4", "-max_doc_len", "8",
+            "-epoch", "1", "-batch_size", "8", "-lr", "0.001",
+            "-eval_every", "4",
+        ])
+        assert (tmp_path / "ckpt" / "train_state.msgpack").exists()
+        res2 = tmp_path / "res_maxp.trec"
+        inference_v1.main([
+            "-model", "bert", "-maxp", "-task", "ranking",
+            "-pretrain", tiny_bert, "-test", dev, "-mode", "dev",
+            "-checkpoint", str(tmp_path / "ckpt"), "-res", str(res2),
+            "-max_query_len", "4", "-max_doc_len", "8",
+        ])
+        assert res2.read_text().strip()
+
     def test_bert_reinfoselect(self, tiny_bert, tmp_path, capsys):
         """-model bert -reinfoselect uses a Bert classification policy
         (reference train.py:637-642)."""
