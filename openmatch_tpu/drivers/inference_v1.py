@@ -48,7 +48,7 @@ def main(argv=None):
                         help="BertMaxP chunk-and-maxpool long-doc scoring")
     args = parser.parse_args(argv)
 
-    if args.model == "bert":
+    if args.model in ("bert", "roberta"):
         from transformers import AutoTokenizer
 
         tokenizer = AutoTokenizer.from_pretrained(args.vocab or args.pretrain)

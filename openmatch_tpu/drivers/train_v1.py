@@ -140,9 +140,13 @@ def build_v1_model_and_collators(args, tokenizer):
     through the extra entity tensors); bert is a cross-encoder over
     [CLS] q [SEP] d [SEP] inputs (``tokenizer`` is then an HF
     tokenizer, not the WordTokenizer)."""
-    if args.model == "bert":
+    if args.model in ("bert", "roberta"):
+        # roberta rides the same path: load_bert_encoder normalizes the
+        # HF prefix and BertConfig.from_hf_config sets the position
+        # offset; segment ids are zeros (reference train.py:86-90 calls
+        # the roberta model without them)
         if not getattr(args, "pretrain", None):
-            raise ValueError("-model bert requires -pretrain (HF checkpoint dir)")
+            raise ValueError(f"-model {args.model} requires -pretrain (HF checkpoint dir)")
         maxp = bool(getattr(args, "maxp", False))
         model, params, score_fn = build_bert_ranker(
             args.pretrain, getattr(args, "bert_mode", "cls"), args.task,
@@ -260,7 +264,7 @@ def main(argv=None):
         raise ValueError("-maxp and -reinfoselect cannot combine (the policy "
                          "scores flat cross-encoder inputs)")
 
-    if args.model == "bert":
+    if args.model in ("bert", "roberta"):
         from transformers import AutoTokenizer
 
         tokenizer = AutoTokenizer.from_pretrained(args.vocab or args.pretrain)
@@ -282,7 +286,7 @@ def main(argv=None):
         if not (args.dev and args.qrels):
             raise ValueError("-reinfoselect needs -dev and -qrels: the policy's "
                              "REINFORCE reward is the dev-metric delta")
-        if args.model == "bert":
+        if args.model in ("bert", "roberta"):
             # bert policy = Bert classification head, reference train.py:637-642
             _, policy_params, policy_score_fn = build_bert_ranker(
                 args.pretrain, args.bert_mode, "classification", args.seed + 1)

@@ -73,6 +73,37 @@ class TestBertCLI:
         lines = res2.read_text().strip().splitlines()
         assert lines and all(len(l.split()) == 6 for l in lines)
 
+    def test_roberta_aliases_bert_path(self, tmp_path):
+        """-model roberta loads through the same converter (HF prefix
+        normalization + position offset); reference train.py:86-90 calls
+        roberta without segment ids."""
+        from transformers import BertTokenizerFast, RobertaConfig, RobertaModel
+
+        ckpt = tmp_path / "tinyroberta"
+        cfg = RobertaConfig(vocab_size=32, hidden_size=16, num_hidden_layers=1,
+                            num_attention_heads=2, intermediate_size=32,
+                            max_position_embeddings=66, pad_token_id=0)
+        RobertaModel(cfg).save_pretrained(ckpt)
+        vocab = tmp_path / "vocab.txt"
+        vocab.write_text("\n".join(
+            ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "apple", "fruit",
+             "stone", "rock", "banana"] + [f"w{i}" for i in range(22)]))
+        # tokenizer type is orthogonal to the model path under test
+        BertTokenizerFast(vocab_file=str(vocab)).save_pretrained(ckpt)
+
+        from openmatch_tpu.drivers import train_v1
+
+        train, dev, qrels = _files(tmp_path)
+        train_v1.main([
+            "-model", "roberta", "-task", "ranking",
+            "-ranking_loss", "margin_loss", "-pretrain", str(ckpt),
+            "-train", train, "-save", str(tmp_path / "ckpt"),
+            "-res", str(tmp_path / "res.trec"),
+            "-max_query_len", "4", "-max_doc_len", "8",
+            "-epoch", "1", "-batch_size", "8", "-lr", "0.001",
+        ])
+        assert (tmp_path / "ckpt" / "train_state.msgpack").exists()
+
     def test_maxp_train_and_inference(self, tiny_bert, tmp_path):
         """-maxp trains BertMaxP on pairwise windows and scores dev docs
         (reference train.py:623-630 + BertMaxPDataset collate)."""
