@@ -73,6 +73,22 @@ class TestBertCLI:
         lines = res2.read_text().strip().splitlines()
         assert lines and all(len(l.split()) == 6 for l in lines)
 
+        # ranklib features from the bert [CLS] rep (reference
+        # gen_feature.py default model; feeds coor_ascent)
+        from openmatch_tpu.drivers import gen_feature
+
+        feat = tmp_path / "features.txt"
+        gen_feature.main([
+            "-model", "bert", "-task", "ranking", "-pretrain", tiny_bert,
+            "-dev", dev, "-checkpoint", str(tmp_path / "ckpt"),
+            "-out", str(feat), "-max_query_len", "4", "-max_doc_len", "8",
+        ])
+        flines = feat.read_text().strip().splitlines()
+        assert len(flines) == 2
+        # label qid 16-dim rep + score + retrieval_score + "# did"
+        assert flines[0].split()[1] == "id:q1"
+        assert f"{16 + 2}:" in flines[0]
+
     def test_roberta_aliases_bert_path(self, tmp_path):
         """-model roberta loads through the same converter (HF prefix
         normalization + position offset); reference train.py:86-90 calls
