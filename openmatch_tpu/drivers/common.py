@@ -2,8 +2,25 @@
 
 from __future__ import annotations
 
+import argparse
 import logging
 import os
+
+
+class DictOrStr(argparse.Action):
+    """v1 dataset specs: a plain path, or ``queries=q.tsv,docs=d.tsv,
+    trec=run.trec[,qrels=qrels]`` parsed to a dict for V1Dataset's id-spec
+    mode (reference v1/OpenMatch/utils.py:5-14)."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        if "=" in values:
+            spec = {}
+            for kv in values.split(","):
+                k, v = kv.split("=")
+                spec[k] = v
+            setattr(namespace, self.dest, spec)
+        else:
+            setattr(namespace, self.dest, values)
 
 
 def enable_compilation_cache():

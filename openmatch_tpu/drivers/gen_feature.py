@@ -27,6 +27,7 @@ from ..data.loader import batched
 from ..train.state import TrainState, load_train_state, make_optimizer
 from ..v1.dataset import V1Dataset
 from ..v1.tokenizer import WordTokenizer
+from .common import DictOrStr
 from .train_v1 import build_v1_model_and_collators
 
 
@@ -34,7 +35,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-task", default="ranking")
     parser.add_argument("-model", default="knrm")
-    parser.add_argument("-dev", required=True)
+    parser.add_argument("-dev", required=True, action=DictOrStr)
     parser.add_argument("-vocab", default=None)
     parser.add_argument("-pretrain", default=None)
     parser.add_argument("-ent_vocab", default=None, help="entity vocab file (edrm)")

@@ -20,6 +20,7 @@ from ..train.v1_trainer import predict_scores
 from ..utils.trec import save_as_trec
 from ..v1.dataset import V1Dataset
 from ..v1.tokenizer import WordTokenizer
+from .common import DictOrStr
 from .train_v1 import build_v1_model_and_collators
 
 
@@ -27,7 +28,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-task", default="ranking")
     parser.add_argument("-model", default="knrm")
-    parser.add_argument("-test", required=True)
+    parser.add_argument("-test", required=True, action=DictOrStr)
     parser.add_argument("-vocab", default=None)
     parser.add_argument("-pretrain", default=None)
     parser.add_argument("-ent_vocab", default=None, help="entity vocab file (edrm)")

@@ -35,6 +35,7 @@ from ..utils.metrics import evaluate_run, load_qrels
 from ..utils.trec import save_as_trec
 from ..v1.dataset import BertPairCollator, V1Dataset, WordCollator
 from ..v1.tokenizer import WordTokenizer
+from .common import DictOrStr
 from .train_v1 import build_bert_ranker, build_v1_model_and_collators
 
 
@@ -59,10 +60,11 @@ def main(argv=None):
     parser.add_argument("-task", default="ranking")
     parser.add_argument("-model", default="bert")
     parser.add_argument("-ranking_loss", default="margin_loss")
-    parser.add_argument("-train", required=True, help="source-domain pairs")
-    parser.add_argument("-target", required=True,
+    parser.add_argument("-train", required=True, action=DictOrStr,
+                        help="source-domain pairs")
+    parser.add_argument("-target", required=True, action=DictOrStr,
                         help="target-domain pairs (cycled; the meta reward signal)")
-    parser.add_argument("-dev", default=None)
+    parser.add_argument("-dev", default=None, action=DictOrStr)
     parser.add_argument("-qrels", default=None)
     parser.add_argument("-vocab", default=None)
     parser.add_argument("-pretrain", default=None)

@@ -33,6 +33,7 @@ from ..v1.dataset import BertPairCollator, V1Dataset, WordCollator
 from ..v1.long_doc import EDRMCollator
 from ..v1.models import EDRM, KNRM, TK, BertRanker, ConvKNRM
 from ..v1.tokenizer import WordTokenizer
+from .common import DictOrStr
 
 
 def build_word_model(args, tokenizer):
@@ -222,8 +223,8 @@ def main(argv=None):
     parser.add_argument("-task", default="ranking")
     parser.add_argument("-model", default="knrm")
     parser.add_argument("-ranking_loss", default="margin_loss")
-    parser.add_argument("-train", required=True)
-    parser.add_argument("-dev", default=None)
+    parser.add_argument("-train", required=True, action=DictOrStr)
+    parser.add_argument("-dev", default=None, action=DictOrStr)
     parser.add_argument("-qrels", default=None)
     parser.add_argument("-vocab", default=None)
     parser.add_argument("-pretrain", default=None, help="GloVe embedding file")

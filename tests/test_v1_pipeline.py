@@ -98,6 +98,52 @@ class TestRankingLosses:
             assert np.isfinite(good) and good < bad, kind
 
 
+class TestDictOrStr:
+    def test_parses_kv_spec_and_plain_path(self):
+        import argparse
+
+        from openmatch_tpu.drivers.common import DictOrStr
+
+        p = argparse.ArgumentParser()
+        p.add_argument("-test", action=DictOrStr)
+        ns = p.parse_args(["-test", "queries=q.tsv,docs=d.tsv,trec=run.trec"])
+        assert ns.test == {"queries": "q.tsv", "docs": "d.tsv", "trec": "run.trec"}
+        ns = p.parse_args(["-test", "plain.jsonl"])
+        assert ns.test == "plain.jsonl"
+
+    def test_inference_v1_id_spec(self, vocab_file, tmp_path):
+        """-test queries=...,docs=...,trec=... joins ids through V1Dataset's
+        dict mode (reference inference.py takes DictOrStr datasets)."""
+        from openmatch_tpu.drivers import inference_v1, train_v1
+
+        rows = [{"query": "apple fruit", "doc_pos": "apple apple fruit",
+                 "doc_neg": "stone rock"} for _ in range(8)]
+        train = tmp_path / "train.jsonl"
+        train.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        train_v1.main([
+            "-model", "knrm", "-train", str(train), "-vocab", vocab_file,
+            "-save", str(tmp_path / "ckpt"), "-res", str(tmp_path / "r.trec"),
+            "-embed_dim", "8", "-max_query_len", "4", "-max_doc_len", "8",
+            "-epoch", "1", "-batch_size", "8", "-lr", "0.01",
+        ])
+        (tmp_path / "queries.tsv").write_text("q1\tapple fruit\n")
+        (tmp_path / "docs.tsv").write_text("d1\tapple apple fruit\nd2\tstone rock\n")
+        (tmp_path / "first.trec").write_text(
+            "q1 Q0 d1 1 3.5 bm25\nq1 Q0 d2 2 2.5 bm25\n")
+        res = tmp_path / "out.trec"
+        inference_v1.main([
+            "-model", "knrm", "-vocab", vocab_file,
+            "-test", f"queries={tmp_path}/queries.tsv,docs={tmp_path}/docs.tsv,"
+                     f"trec={tmp_path}/first.trec",
+            "-mode", "test", "-checkpoint", str(tmp_path / "ckpt"),
+            "-res", str(res), "-embed_dim", "8",
+            "-max_query_len", "4", "-max_doc_len", "8",
+        ])
+        lines = res.read_text().strip().splitlines()
+        assert len(lines) == 2
+        assert {l.split()[2] for l in lines} == {"d1", "d2"}
+
+
 class TestEndToEndKNRM:
     def test_train_and_predict(self, vocab_file, mesh8, tmp_path):
         tok = WordTokenizer(vocab=vocab_file, if_swr=False, if_stem=False)
