@@ -45,7 +45,14 @@ GROUP = 8
 # v5e scoped-vmem stack limit is 16 MiB; Mosaic adds ~1.4 MiB of overhead
 # beyond the block buffers (measured: a 15.5 MiB block plan compiled to a
 # 16.88 MiB allocation), so budget against 14.5 MiB.
-_SCOPED_VMEM = int(14.5 * 2**20)
+# Mosaic's default scoped-VMEM budget is ~16 MB; kernels guard their
+# double-buffered working sets against this slightly-conservative cap.
+# OPENMATCH_VMEM_KIB raises the guard for wide-tile experiments — it must
+# be paired with XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=<same> so the
+# compiler actually grants the budget (read at import, process-start only).
+_SCOPED_VMEM = (int(os.environ["OPENMATCH_VMEM_KIB"]) * 1024
+                if os.environ.get("OPENMATCH_VMEM_KIB")
+                else int(14.5 * 2**20))
 
 
 def _interpret_mode() -> bool:

@@ -105,6 +105,98 @@ def main():
         dt = (time.time() - t0) / iters
         print(f"{phase} fused_plain_gmax(emit_l1={emit}): {dt * 1000:.1f} ms",
               flush=True)
+    elif phase in ("a3base", "a3notr", "a3mxutr", "a3nomax"):
+        # per-step cost decomposition of the gmax kernel (r4 roofline:
+        # the stream runs at 45% of HBM peak; which VPU op is the tax?).
+        # Self-contained experimental kernels — the production kernel in
+        # pallas_mips is untouched.
+        #   a3base  = production shape: dot + stride-8 max + transpose
+        #   a3notr  = same minus the in-kernel transpose (doc-major out)
+        #   a3mxutr = transpose via MXU dot_general against an identity
+        #   a3nomax = dot + transpose only (no stride-8 member max)
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from openmatch_tpu.ops.pallas_mips import _interpret_mode
+
+        tile_g, tile_q = 256, 128
+
+        def make_kernel(variant):
+            def kernel(q_ref, c_ref, g_ref, s_scratch):
+                st = jax.lax.dot_general(
+                    c_ref[:], q_ref[:],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [tile_g*8, tq] f32, docs on sublanes
+                s_scratch[:] = st
+                if variant == "a3nomax":
+                    g = s_scratch[0::GROUP, :]
+                else:
+                    g = s_scratch[0::GROUP, :]
+                    for m in range(1, GROUP):
+                        g = jnp.maximum(g, s_scratch[m::GROUP, :])
+                if variant == "a3notr":
+                    g_ref[:] = g  # doc-major store, no transpose
+                elif variant == "a3mxutr":
+                    # transpose on the MXU: contract g's sublane dim with
+                    # an identity -> [tq, tile_g], no VPU shuffle network
+                    eye = (jax.lax.broadcasted_iota(jnp.int32, (tile_g, tile_g), 0)
+                           == jax.lax.broadcasted_iota(jnp.int32, (tile_g, tile_g), 1))
+                    g_ref[:] = jax.lax.dot_general(
+                        g, eye.astype(jnp.float32),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    g_ref[:] = jnp.swapaxes(g, 0, 1)
+
+            return kernel
+
+        doc_major = phase == "a3notr"
+        out_shape = ((NBp, Q) if doc_major else (Q, NBp))
+        out_spec = (pl.BlockSpec((tile_g, tile_q), lambda qb, t: (t, qb),
+                                 memory_space=pltpu.VMEM) if doc_major else
+                    pl.BlockSpec((tile_q, tile_g), lambda qb, t: (qb, t),
+                                 memory_space=pltpu.VMEM))
+
+        @jax.jit
+        def gmax_x(queries, plain):
+            return pl.pallas_call(
+                make_kernel(phase),
+                grid=(Q // tile_q, NBp // tile_g),
+                in_specs=[
+                    pl.BlockSpec((tile_q, D), lambda qb, t: (qb, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tile_g * GROUP, D), lambda qb, t: (t, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=out_spec,
+                out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
+                scratch_shapes=[pltpu.VMEM((tile_g * GROUP, tile_q), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary", "arbitrary")),
+                interpret=_interpret_mode(),
+            )(queries, plain)
+
+        plain = jr.normal(jr.PRNGKey(0), (NBp * GROUP, D), jnp.bfloat16)
+        q = jr.normal(jr.PRNGKey(1), (Q, D), jnp.bfloat16)
+        iters = 8
+
+        @jax.jit
+        def loop(q, plain):
+            def body(i, carry):
+                g = gmax_x(q + carry, plain)
+                return carry + g[0, 0].astype(jnp.bfloat16) * jnp.bfloat16(1e-30)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.bfloat16(0.0))
+
+        np.asarray(loop(q, plain))
+        t0 = time.time()
+        np.asarray(loop(q, plain))
+        dt = (time.time() - t0) / iters
+        stream_gb = NBp * GROUP * D * 2 / 1e9
+        print(f"{phase}: {dt * 1000:.1f} ms, stream {stream_gb / dt:.0f} GB/s "
+              f"({stream_gb / dt / 819 * 100:.0f}% of peak)", flush=True)
     elif phase == "a3tile":
         # roofline probe for the gmax corpus stream (VERDICT r4 #6):
         # argv[5] = tile_g (corpus blocks per grid step; default 256).
