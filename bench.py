@@ -54,7 +54,10 @@ wall clock before the known-good 8-segment retry ran. Three fixes:
       (env OPENMATCH_BENCH_STATE) — each rung tries its PROVEN config
       first; the faster fewer-segment build runs only as an UPGRADE
       attempt afterwards, with budget to spare, where its failure
-      cannot cost the already-recorded direct measurement;
+      cannot cost the already-recorded direct measurement. Upgrade
+      failures also persist: a config that failed MAX_UPGRADE_FAILS
+      times across runs is fragmentation-blocked and skipped (the
+      4-seg 8.8M build failed three quiet-tunnel attempts in r3-r4);
   (c) every settle window and subprocess timeout is capped against a
       wall-clock budget (env OPENMATCH_BENCH_BUDGET_S, default 2100 s);
       a rung whose settle + estimated run does not fit the remaining
@@ -114,22 +117,40 @@ STATE_PATH = os.environ.get(
 PROVEN_SEGS = {6_631_367: 2, 7_736_595: 4, N_FULL: 8}
 
 
+# an upgrade config (fewer segments than proven) that failed allocation
+# this many times across runs is fragmentation-blocked on this tunnel —
+# stop attempting it (the 4-segment 8.8M build failed three quiet-tunnel
+# attempts in rounds 3-4; each failure leaks HBM until the server
+# reclaim, which is exactly what the round-end driver run cannot afford)
+MAX_UPGRADE_FAILS = 2
+
+
 def _load_state():
+    """Returns (proven_segs, upgrade_fails): {n: segs} and {n: {segs:
+    fail count}} learned across runs."""
     try:
         with open(STATE_PATH) as f:
-            raw = json.load(f).get("proven_segs", {})
-        return {int(k): int(v) for k, v in raw.items()}
+            raw = json.load(f)
+        proven = {int(k): int(v)
+                  for k, v in raw.get("proven_segs", {}).items()}
+        fails = {int(n): {int(s): int(c) for s, c in per.items()}
+                 for n, per in raw.get("upgrade_fails", {}).items()}
+        return proven, fails
     except (OSError, ValueError):
-        return {}
+        return {}, {}
 
 
-def _save_state(proven):
+def _save_state(proven, fails=None):
     try:
+        state = {"proven_segs":
+                 {str(k): v for k, v in sorted(proven.items())}}
+        if fails:
+            state["upgrade_fails"] = {
+                str(n): {str(s): c for s, c in sorted(per.items())}
+                for n, per in sorted(fails.items()) if per}
         tmp = STATE_PATH + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"proven_segs":
-                       {str(k): v for k, v in sorted(proven.items())}},
-                      f, indent=1)
+            json.dump(state, f, indent=1)
             f.write("\n")
         os.replace(tmp, STATE_PATH)
     except OSError as e:
@@ -317,7 +338,8 @@ def _measure_ladder(deadline):
     metric line after every success, every wait capped by the budget."""
     times, segs_used, failed = {}, {}, {}
     proven = dict(PROVEN_SEGS)
-    proven.update(_load_state())
+    state_proven, upgrade_fails = _load_state()
+    proven.update(state_proven)
     prev_gib = 0.0
     for n in LADDER:
         gib = n * D * 2 / 2**30
@@ -371,24 +393,35 @@ def _measure_ladder(deadline):
         times[n] = t
         segs_used[n] = segs
         proven[n] = segs
-        _save_state(proven)
+        _save_state(proven, upgrade_fails)
         print(f"t_slice(N={n}) = {t * 1e3:.1f} ms ({segs} seg)",
               file=sys.stderr)
         # PROVISIONAL metric: the driver parses the last JSON line of
         # stdout, so anything that goes wrong later can only improve on,
         # never erase, this record
         print(json.dumps(_metric_dict(times)), flush=True)
-    return times, segs_used, proven, failed
+    return times, segs_used, proven, failed, upgrade_fails
 
 
-def _try_upgrade(times, segs_used, proven, failed, deadline):
+def _try_upgrade(times, segs_used, proven, failed, upgrade_fails, deadline):
     """Attempt the fastest (fewest-segment) config for the largest
     measured rung, AFTER its proven config is already on record. Returns
     True when the attempt failed with a leaked allocation (callers should
-    then skip further big builds until the server reclaim)."""
+    then skip further big builds until the server reclaim). Configs whose
+    persisted cross-run failure count has reached MAX_UPGRADE_FAILS are
+    fragmentation-blocked and never attempted again (clear the
+    upgrade_fails entry in bench_state.json to re-enable)."""
     n = max(times)
+    per_fail = upgrade_fails.get(n, {})
+    blocked = sorted(s for s, c in per_fail.items()
+                     if c >= MAX_UPGRADE_FAILS and s < segs_used[n])
+    if blocked:
+        print(f"N={n}: upgrade configs {blocked} fragmentation-blocked "
+              f"({MAX_UPGRADE_FAILS}+ failed attempts on record) — skipped",
+              file=sys.stderr)
     faster = sorted(s for s in N_SEGS.get(n, (1,))
-                    if s < segs_used[n] and s not in failed.get(n, ()))
+                    if s < segs_used[n] and s not in failed.get(n, ())
+                    and per_fail.get(s, 0) < MAX_UPGRADE_FAILS)
     if not faster:
         return False
     segs = faster[0]
@@ -405,10 +438,17 @@ def _try_upgrade(times, segs_used, proven, failed, deadline):
         times[n] = t
         segs_used[n] = segs
         proven[n] = segs
-        _save_state(proven)
+        _save_state(proven, upgrade_fails)
         print(f"t_slice(N={n}) = {t * 1e3:.1f} ms ({segs} seg, upgraded)",
               file=sys.stderr)
         print(json.dumps(_metric_dict(times)), flush=True)
+    elif t is None and leaked:
+        # count only allocation failures (incl. timeouts, which mean a
+        # hung over-limit allocation) — a transient tunnel flake with no
+        # leaked reservation should not block future upgrade attempts
+        per_fail = upgrade_fails.setdefault(n, {})
+        per_fail[segs] = per_fail.get(segs, 0) + 1
+        _save_state(proven, upgrade_fails)
     return leaked
 
 
@@ -491,11 +531,12 @@ def main():
     # ascending ladder, one subprocess per rung; a provisional metric line
     # is printed after every successful rung, so everything below can only
     # improve on the record already on stdout
-    times, segs_used, proven, failed = _measure_ladder(deadline)
+    times, segs_used, proven, failed, upgrade_fails = _measure_ladder(deadline)
     if not times:
         raise SystemExit("no ladder size fit in HBM")
 
-    leaked = _try_upgrade(times, segs_used, proven, failed, deadline)
+    leaked = _try_upgrade(times, segs_used, proven, failed, upgrade_fails,
+                          deadline)
     n_meas = max(times)
     t_meas = times[n_meas]
     q_meas = Q_CHIP

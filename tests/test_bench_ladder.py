@@ -163,6 +163,53 @@ class TestLadder:
         state = json.load(open(bench.STATE_PATH))
         assert state["proven_segs"][str(bench.N_FULL)] == 8
 
+    def test_failed_upgrades_persist_and_block(self, fast, monkeypatch,
+                                               capsys):
+        """An upgrade allocation failure increments a persisted per-config
+        count; once the count reaches MAX_UPGRADE_FAILS the config is
+        fragmentation-blocked and never attempted again (the 4-seg 8.8M
+        story: each failure leaks HBM the round-end driver run cannot
+        afford)."""
+        def rung(n, segs, q):
+            if n == bench.N_FULL and segs == 4:
+                return FakeProc(returncode=1, stderr="would not allocate")
+            return FakeProc(stdout=f"RUNG {n} {1e-9 * n:.9f}\n")
+
+        for expect in range(1, bench.MAX_UPGRADE_FAILS + 1):
+            run_main(monkeypatch, capsys, rung)
+            state = json.load(open(bench.STATE_PATH))
+            assert state["upgrade_fails"][str(bench.N_FULL)]["4"] == expect
+
+        calls = []
+
+        def counting_rung(n, segs, q):
+            calls.append((n, segs, q))
+            return rung(n, segs, q)
+
+        res, _ = run_main(monkeypatch, capsys, counting_rung)
+        # the blocked config is never attempted; the wide probe now runs
+        # (no leaked reservation to dodge)
+        assert not [c for c in calls if c[0] == bench.N_FULL and c[1] == 4]
+        assert res["metric"].startswith(
+            "exact_top1000_search_qps_8.8M_docs_direct")
+        state = json.load(open(bench.STATE_PATH))
+        assert state["upgrade_fails"][str(bench.N_FULL)]["4"] == \
+            bench.MAX_UPGRADE_FAILS
+
+    def test_transient_upgrade_failure_not_counted(self, fast, monkeypatch,
+                                                   capsys):
+        """A clean non-allocation upgrade failure (tunnel flake) must NOT
+        accrue toward the fragmentation block."""
+        def rung(n, segs, q):
+            if n == bench.N_FULL and segs == 4 and q == bench.Q_CHIP:
+                return FakeProc(returncode=1, stderr="TPU backend setup "
+                                "failed (transient)")
+            return FakeProc(stdout=f"RUNG {n} {1e-9 * n:.9f}\n")
+
+        run_main(monkeypatch, capsys, rung)
+        state = json.load(open(bench.STATE_PATH))
+        assert "upgrade_fails" not in state
+
     def test_state_file_overrides_proven_order(self, fast, monkeypatch,
                                                capsys):
         """A state file naming 4 segments as proven makes 4 run first;
