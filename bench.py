@@ -101,7 +101,7 @@ LADDER = (276_306, 1_105_227, 2_210_456, 4_420_911, 6_631_367, 7_736_595,
 # each big rung lists an ASCENDING tuple of segment counts: coarsest
 # (fastest) first, finer (allocation-safer) retried after a reclaim-horizon
 # settle if the coarse build fails.
-N_SEGS = {N_FULL: (4, 8, 16), 7_736_595: (4,), 6_631_367: (2,)}
+N_SEGS = {N_FULL: (4, 6, 8, 16), 7_736_595: (4,), 6_631_367: (2,)}
 RETRY_SETTLE_S = 1200  # failed allocs leak until a ~10-20 min reclaim
 RUNG_TIMEOUT_S = 2700  # last-resort bound; a clean failure exits long before
 # wall-clock budget for the WHOLE run (driver observed ~45 min; default
@@ -433,7 +433,7 @@ def _try_upgrade(times, segs_used, proven, failed, upgrade_fails, deadline):
     print(f"N={n}: upgrade attempt with {segs} segments (current "
           f"{segs_used[n]} segs = {times[n] * 1e3:.1f} ms)", file=sys.stderr)
     time.sleep(settle)
-    t, leaked, _ = _run_rung_subprocess(n, segs, Q_CHIP, deadline)
+    t, leaked, timed_out = _run_rung_subprocess(n, segs, Q_CHIP, deadline)
     if t is not None and t < times[n]:
         times[n] = t
         segs_used[n] = segs
@@ -442,10 +442,13 @@ def _try_upgrade(times, segs_used, proven, failed, upgrade_fails, deadline):
         print(f"t_slice(N={n}) = {t * 1e3:.1f} ms ({segs} seg, upgraded)",
               file=sys.stderr)
         print(json.dumps(_metric_dict(times)), flush=True)
-    elif t is None and leaked:
-        # count only allocation failures (incl. timeouts, which mean a
-        # hung over-limit allocation) — a transient tunnel flake with no
-        # leaked reservation should not block future upgrade attempts
+    elif t is None and leaked and not timed_out:
+        # count only EXPLICIT allocation failures ("would not allocate")
+        # toward the permanent block. Timeouts are ambiguous — a
+        # budget-capped subprocess killed mid-compile (first compiles
+        # cost minutes through the tunnel) would otherwise permanently
+        # block a viable config — and transient tunnel flakes leak
+        # nothing; neither should accrue
         per_fail = upgrade_fails.setdefault(n, {})
         per_fail[segs] = per_fail.get(segs, 0) + 1
         _save_state(proven, upgrade_fails)

@@ -10,17 +10,42 @@ import os
 class DictOrStr(argparse.Action):
     """v1 dataset specs: a plain path, or ``queries=q.tsv,docs=d.tsv,
     trec=run.trec[,qrels=qrels]`` parsed to a dict for V1Dataset's id-spec
-    mode (reference v1/OpenMatch/utils.py:5-14)."""
+    mode (reference v1/OpenMatch/utils.py:5-14).
+
+    The dict branch is taken only when EVERY comma-part is
+    ``<spec key>=value`` for the keys V1Dataset's id-spec mode actually
+    reads — a plain path that happens to contain '=' (``run=3/x.jsonl``,
+    ``/data/run=3/x.jsonl``) stays a string, and a value containing '='
+    survives (split once per part)."""
+
+    SPEC_KEYS = frozenset({"queries", "docs", "trec", "qrels"})
 
     def __call__(self, parser, namespace, values, option_string=None):
-        if "=" in values:
-            spec = {}
-            for kv in values.split(","):
-                k, v = kv.split("=")
-                spec[k] = v
-            setattr(namespace, self.dest, spec)
+        parts = [kv.split("=", 1) for kv in values.split(",")]
+        if all(len(p) == 2 and p[0] in self.SPEC_KEYS for p in parts):
+            setattr(namespace, self.dest, dict(parts))
         else:
             setattr(namespace, self.dest, values)
+
+
+def build_v1_tokenizer(args):
+    """The v1 CLIs' tokenizer rule in ONE place (train_v1 / inference_v1 /
+    gen_feature / meta_train all share it): bert/roberta load the HF
+    tokenizer from -vocab or -pretrain (reference v1/train.py:637-645
+    loads from the pretrained name), everything else gets the
+    WordTokenizer over -vocab/-pretrain GloVe."""
+    if args.model in ("bert", "roberta"):
+        from transformers import AutoTokenizer
+
+        src = args.vocab or args.pretrain
+        if not src:
+            raise ValueError(
+                f"-model {args.model} needs -vocab or -pretrain to locate "
+                "the HF tokenizer")
+        return AutoTokenizer.from_pretrained(src)
+    from ..v1.tokenizer import WordTokenizer
+
+    return WordTokenizer(vocab=args.vocab, pretrained=args.pretrain)
 
 
 def enable_compilation_cache():

@@ -26,12 +26,12 @@ import numpy as np
 from ..data.loader import batched
 from ..train.state import TrainState, load_train_state, make_optimizer
 from ..v1.dataset import V1Dataset
-from ..v1.tokenizer import WordTokenizer
-from .common import DictOrStr
+from .common import DictOrStr, build_v1_tokenizer, setup_logging
 from .train_v1 import build_v1_model_and_collators
 
 
 def main(argv=None):
+    setup_logging()
     parser = argparse.ArgumentParser()
     parser.add_argument("-task", default="ranking")
     parser.add_argument("-model", default="knrm")
@@ -53,12 +53,7 @@ def main(argv=None):
     parser.add_argument("-maxp", action="store_true", default=False)
     args = parser.parse_args(argv)
 
-    if args.model in ("bert", "roberta"):
-        from transformers import AutoTokenizer
-
-        tokenizer = AutoTokenizer.from_pretrained(args.vocab or args.pretrain)
-    else:
-        tokenizer = WordTokenizer(vocab=args.vocab, pretrained=args.pretrain)
+    tokenizer = build_v1_tokenizer(args)
     model, params, _, make_collator = build_v1_model_and_collators(args, tokenizer)
     # restore trained params
     from ..config import TrainingArguments

@@ -19,12 +19,12 @@ from ..train.state import TrainState, load_train_state, make_optimizer
 from ..train.v1_trainer import predict_scores
 from ..utils.trec import save_as_trec
 from ..v1.dataset import V1Dataset
-from ..v1.tokenizer import WordTokenizer
-from .common import DictOrStr
+from .common import DictOrStr, build_v1_tokenizer, setup_logging
 from .train_v1 import build_v1_model_and_collators
 
 
 def main(argv=None):
+    setup_logging()
     parser = argparse.ArgumentParser()
     parser.add_argument("-task", default="ranking")
     parser.add_argument("-model", default="knrm")
@@ -49,12 +49,7 @@ def main(argv=None):
                         help="BertMaxP chunk-and-maxpool long-doc scoring")
     args = parser.parse_args(argv)
 
-    if args.model in ("bert", "roberta"):
-        from transformers import AutoTokenizer
-
-        tokenizer = AutoTokenizer.from_pretrained(args.vocab or args.pretrain)
-    else:
-        tokenizer = WordTokenizer(vocab=args.vocab, pretrained=args.pretrain)
+    tokenizer = build_v1_tokenizer(args)
     model, params, score_fn, make_collator = build_v1_model_and_collators(args, tokenizer)
     from ..config import TrainingArguments
 

@@ -33,29 +33,13 @@ from ..train.meta_trainer import CyclingIterator, MetaLTRTrainer
 from ..train.v1_trainer import predict_scores
 from ..utils.metrics import evaluate_run, load_qrels
 from ..utils.trec import save_as_trec
-from ..v1.dataset import BertPairCollator, V1Dataset, WordCollator
-from ..v1.tokenizer import WordTokenizer
-from .common import DictOrStr
-from .train_v1 import build_bert_ranker, build_v1_model_and_collators
-
-
-def build_bert_model(args):
-    """BertRanker over a pretrained HF checkpoint (the reference meta
-    driver is bert-only, meta_dist_train.py:318-322)."""
-    from transformers import AutoTokenizer
-
-    tokenizer = AutoTokenizer.from_pretrained(args.vocab)
-    model, params, score_fn = build_bert_ranker(
-        args.pretrain or args.vocab, args.mode, args.task, args.seed)
-
-    def make_collator(mode):
-        return BertPairCollator(tokenizer, args.max_query_len, args.max_doc_len,
-                                mode=mode, task=args.task)
-
-    return model, params, score_fn, make_collator
+from ..v1.dataset import V1Dataset
+from .common import DictOrStr, build_v1_tokenizer, setup_logging
+from .train_v1 import build_v1_model_and_collators
 
 
 def main(argv=None):
+    setup_logging()
     parser = argparse.ArgumentParser()
     parser.add_argument("-task", default="ranking")
     parser.add_argument("-model", default="bert")
@@ -68,8 +52,11 @@ def main(argv=None):
     parser.add_argument("-qrels", default=None)
     parser.add_argument("-vocab", default=None)
     parser.add_argument("-pretrain", default=None)
-    parser.add_argument("-ent_vocab", default=None)
-    parser.add_argument("-mode", default="cls")
+    parser.add_argument("-ent_vocab", default=None, help="entity vocab file (edrm)")
+    parser.add_argument("-max_ent_num", type=int, default=3)
+    parser.add_argument("-max_des_len", type=int, default=20)
+    parser.add_argument("-kernel_dim", type=int, default=128)
+    parser.add_argument("-bert_mode", default="cls", choices=["cls", "pooling"])
     parser.add_argument("-metric", default="ndcg_cut_10")
     parser.add_argument("-embed_dim", type=int, default=100)
     parser.add_argument("-max_query_len", type=int, default=20)
@@ -89,11 +76,11 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     os.makedirs(args.save_folder, exist_ok=True)
-    if args.model == "bert":
-        model, params, score_fn, make_collator = build_bert_model(args)
-    else:
-        tokenizer = WordTokenizer(vocab=args.vocab, pretrained=args.pretrain)
-        model, params, score_fn, make_collator = build_v1_model_and_collators(args, tokenizer)
+    # the same model zoo as the sibling v1 CLIs (train_v1/inference_v1):
+    # bert/roberta over an HF checkpoint, edrm with the entity channel,
+    # word-family otherwise — one shared construction path
+    tokenizer = build_v1_tokenizer(args)
+    model, params, score_fn, make_collator = build_v1_model_and_collators(args, tokenizer)
 
     train_set = V1Dataset(args.train, mode="train", task=args.task, max_input=args.max_input)
     # the reference's MetaBertDataset mode='target' parses the SAME pair

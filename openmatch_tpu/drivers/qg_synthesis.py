@@ -99,6 +99,9 @@ def load_corpus(path: str) -> Dict[str, str]:
 
 
 def main(argv=None):
+    from .common import setup_logging
+
+    setup_logging()
     from transformers import AutoTokenizer
 
     from ..research.qg import QGModel

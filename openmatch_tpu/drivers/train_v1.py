@@ -33,7 +33,7 @@ from ..v1.dataset import BertPairCollator, V1Dataset, WordCollator
 from ..v1.long_doc import EDRMCollator
 from ..v1.models import EDRM, KNRM, TK, BertRanker, ConvKNRM
 from ..v1.tokenizer import WordTokenizer
-from .common import DictOrStr
+from .common import DictOrStr, build_v1_tokenizer, setup_logging
 
 
 def build_word_model(args, tokenizer):
@@ -219,6 +219,7 @@ def word_score_fn(model):
 
 
 def main(argv=None):
+    setup_logging()
     parser = argparse.ArgumentParser()
     parser.add_argument("-task", default="ranking")
     parser.add_argument("-model", default="knrm")
@@ -265,12 +266,7 @@ def main(argv=None):
         raise ValueError("-maxp and -reinfoselect cannot combine (the policy "
                          "scores flat cross-encoder inputs)")
 
-    if args.model in ("bert", "roberta"):
-        from transformers import AutoTokenizer
-
-        tokenizer = AutoTokenizer.from_pretrained(args.vocab or args.pretrain)
-    else:
-        tokenizer = WordTokenizer(vocab=args.vocab, pretrained=args.pretrain)
+    tokenizer = build_v1_tokenizer(args)
     model, params, score_fn, make_collator = build_v1_model_and_collators(args, tokenizer)
 
     train_set = V1Dataset(args.train, mode="train", task=args.task, max_input=args.max_input)

@@ -125,25 +125,36 @@ def make_policy_refresh(
     ``buf_rngs`` the per-step selection rngs [T, key], ``buf_actions``
     the sampled actions [T, B]. Matches train.py:245-257: only KEPT
     pairs contribute; reward >= 0 pushes up log pi(action), reward < 0
-    pushes up log pi(1 - action)."""
+    pushes up log pi(1 - action).
+
+    The total loss is a plain sum over the T buffered steps, so the
+    gradient is accumulated one step at a time under ``lax.scan``
+    (memory = one policy forward+backward, not T of them — with the
+    BERT policy and the default eval_every=1000 a whole-buffer vmap
+    would need hundreds of GiB of activations, and over-ceiling HBM
+    requests through the tunnel HANG rather than raise)."""
 
     def refresh(policy_params, opt_state, buf_inputs, buf_rngs, buf_actions, reward):
         reward = jnp.asarray(reward, jnp.float32)
 
-        def loss_fn(params):
-            def per_step(inputs, rng, actions):
-                logits = policy_score_fn(params, inputs)
-                g_rng, _ = jax.random.split(rng)
-                log_p = gumbel_keep_log_probs(g_rng, logits, tau)
-                mask = actions.astype(log_p.dtype)  # kept pairs only
-                lp_a = jnp.take_along_axis(log_p, actions[:, None], axis=1)[:, 0]
-                lp_flip = jnp.take_along_axis(log_p, (1 - actions)[:, None], axis=1)[:, 0]
-                return (lp_a * mask).sum(), (lp_flip * mask).sum()
+        def step_loss(params, inputs, rng, actions):
+            logits = policy_score_fn(params, inputs)
+            g_rng, _ = jax.random.split(rng)
+            log_p = gumbel_keep_log_probs(g_rng, logits, tau)
+            mask = actions.astype(log_p.dtype)  # kept pairs only
+            lp_a = jnp.take_along_axis(log_p, actions[:, None], axis=1)[:, 0]
+            lp_flip = jnp.take_along_axis(log_p, (1 - actions)[:, None], axis=1)[:, 0]
+            return jnp.where(reward >= 0,
+                             -(lp_a * mask).sum() * reward,
+                             (lp_flip * mask).sum() * reward)
 
-            sum_p, sum_n = jax.vmap(per_step)(buf_inputs, buf_rngs, buf_actions)
-            return jnp.where(reward >= 0, -sum_p.sum() * reward, sum_n.sum() * reward)
+        def body(acc, xs):
+            inputs, rng, actions = xs
+            g = jax.grad(step_loss)(policy_params, inputs, rng, actions)
+            return jax.tree.map(jnp.add, acc, g), None
 
-        grads = jax.grad(loss_fn)(policy_params)
+        zero = jax.tree.map(jnp.zeros_like, policy_params)
+        grads, _ = jax.lax.scan(body, zero, (buf_inputs, buf_rngs, buf_actions))
         updates, opt_state = policy_tx.update(grads, opt_state, policy_params)
         return optax.apply_updates(policy_params, updates), opt_state
 

@@ -53,7 +53,16 @@ class CyclingIterator:
             return next(self._it)
         except StopIteration:
             self._it = self._make()
-            return next(self._it)
+            try:
+                return next(self._it)
+            except StopIteration:
+                # a bare StopIteration would escape the training loop as
+                # an inscrutable traceback (e.g. a -target file smaller
+                # than -target_batch_size with drop_last)
+                raise ValueError(
+                    "the target-batch source yielded no batches — is the "
+                    "-target set smaller than -target_batch_size?"
+                ) from None
 
 
 class MetaLTRTrainer:

@@ -73,11 +73,14 @@ def policy_inputs_from_batch(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.nda
             "segment_ids": batch["segment_ids"],
         }
     if "query_wrd_idx" in batch:  # EDRM batch
+        # classification EDRM batches carry a single doc channel
+        # (doc_wrd_*), ranking batches the pos/neg pair (doc_pos_wrd_*)
+        doc = "doc_pos_wrd" if "doc_pos_wrd_idx" in batch else "doc_wrd"
         return {
             "query_idx": batch["query_wrd_idx"],
             "query_mask": batch["query_wrd_mask"],
-            "doc_idx": batch["doc_pos_wrd_idx"],
-            "doc_mask": batch["doc_pos_wrd_mask"],
+            "doc_idx": batch[f"{doc}_idx"],
+            "doc_mask": batch[f"{doc}_mask"],
         }
     if "doc_pos_idx" in batch:  # ranking word batch
         return {
@@ -190,7 +193,11 @@ class ReInfoSelectTrainer:
         best_mes = last_mes = eval_fn(self)
         self.save_checkpoint(best_dir)
         logger.info(f"initial dev metric {best_mes:.4f}")
-        best_params = self.state.params
+        # COPY: the jitted step donates the TrainState (donate_argnums),
+        # deleting the buffers self.state.params aliases — a snapshot
+        # that shares them would hold deleted arrays one step later
+        snap = partial(jax.tree.map, lambda x: jnp.array(x, copy=True))
+        best_params = snap(self.state.params)
 
         losses = []
         for batch in data_iter:
@@ -213,7 +220,7 @@ class ReInfoSelectTrainer:
                 mes = eval_fn(self)
                 if mes >= best_mes:
                     best_mes = mes
-                    best_params = self.state.params
+                    best_params = snap(self.state.params)
                     self.save_checkpoint(best_dir)
                 reward = mes - last_mes
                 last_mes = mes
@@ -224,7 +231,9 @@ class ReInfoSelectTrainer:
                     f"{np.mean(self.keep_rates[-self.args.eval_steps:]):.2f}"
                 )
                 if self.reset:  # train.py:259-262
-                    self.state = self.state.replace(params=best_params)
+                    # copy again: the restored params enter the donated
+                    # state, so sharing them would delete the snapshot
+                    self.state = self.state.replace(params=snap(best_params))
                     last_mes = best_mes
         return {
             "losses": losses,

@@ -213,7 +213,7 @@ class TestLadder:
     def test_state_file_overrides_proven_order(self, fast, monkeypatch,
                                                capsys):
         """A state file naming 4 segments as proven makes 4 run first;
-        when it fails, the safer 8-segment option is retried."""
+        when it fails, the next-safer (6-segment) option is retried."""
         with open(bench.STATE_PATH, "w") as f:
             json.dump({"proven_segs": {str(bench.N_FULL): 4}}, f)
         calls = []
@@ -227,11 +227,11 @@ class TestLadder:
         res, _ = run_main(monkeypatch, capsys, rung)
         full = [c for c in calls
                 if c[0] == bench.N_FULL and c[2] == bench.Q_CHIP]
-        assert [c[1] for c in full] == [4, 8]
+        assert [c[1] for c in full] == [4, 6]
         assert res["metric"].startswith(
             "exact_top1000_search_qps_8.8M_docs_direct")
         state = json.load(open(bench.STATE_PATH))
-        assert state["proven_segs"][str(bench.N_FULL)] == 8
+        assert state["proven_segs"][str(bench.N_FULL)] == 6
 
     def test_provisional_lines_after_every_rung(self, fast, monkeypatch,
                                                 capsys):

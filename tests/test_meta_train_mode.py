@@ -164,8 +164,11 @@ class TestCLI:
         assert (save / "latest_dev.trec").exists()
 
     def test_bert_model_path(self, tmp_path):
-        """-model bert builds a BertRanker from a local tiny HF checkpoint
-        and runs one meta step (the reference driver's only model)."""
+        """-model bert -pretrain <ckpt> (the invocation style every
+        sibling v1 CLI documents) builds a BertRanker from a local tiny
+        HF checkpoint and runs one meta step (the reference driver's
+        only model). meta_train used to read the tokenizer from -vocab
+        only and crash on this exact call."""
         from transformers import BertConfig as HFBertConfig, BertModel, BertTokenizerFast
 
         ckpt = tmp_path / "tinybert"
@@ -185,7 +188,7 @@ class TestCLI:
         save = tmp_path / "bert_run"
         meta_train.main([
             "-model", "bert", "-task", "ranking",
-            "-train", train, "-target", target, "-vocab", str(ckpt),
+            "-train", train, "-target", target, "-pretrain", str(ckpt),
             "-save_folder", str(save),
             "-max_query_len", "4", "-max_doc_len", "8",
             "-epoch", "1", "-train_batch_size", "8", "-target_batch_size", "8",

@@ -218,6 +218,64 @@ class TestTrainerLoop:
         jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b), before, after)
 
 
+    def test_reset_survives_decreasing_dev_metric(self, vocab_file, mesh8,
+                                                   tmp_path):
+        """-reset restores the best checkpoint when the dev metric drops.
+        The jitted step donates the TrainState, so a best_params snapshot
+        sharing its buffers points at DELETED arrays one step later —
+        this drove a 'Array has been deleted' crash whenever the metric
+        failed to improve (the snapshot must copy, and the restore must
+        copy again or the next donation deletes the snapshot)."""
+        tok = WordTokenizer(vocab=vocab_file, if_swr=False, if_stem=False)
+        train, _, _ = _fixture_files(tmp_path)
+        model = KNRM(vocab_size=tok.get_vocab_size(), embed_dim=8)
+        q = jnp.zeros((1, 4), jnp.int32)
+        qm = jnp.ones((1, 4), jnp.float32)
+        d = jnp.zeros((1, 8), jnp.int32)
+        dm = jnp.ones((1, 8), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), q, qm, d, dm)["params"]
+        policy = KNRM(vocab_size=tok.get_vocab_size(), embed_dim=8,
+                      task="classification")
+        policy_params = policy.init(jax.random.PRNGKey(1), q, qm, d, dm)["params"]
+
+        def score_fn(p, batch):
+            s, _ = model.apply({"params": p}, batch["query_idx"],
+                               batch["query_mask"], batch["doc_idx"],
+                               batch["doc_mask"])
+            return s
+
+        def policy_score_fn(p, inputs):
+            s, _ = policy.apply({"params": p}, inputs["query_idx"],
+                                inputs["query_mask"], inputs["doc_idx"],
+                                inputs["doc_mask"])
+            return s
+
+        args = TrainingArguments(
+            output_dir=str(tmp_path / "outr"), learning_rate=0.3,
+            warmup_ratio=0.0, logging_steps=1000, save_steps=0, eval_steps=2,
+        )
+        trainer = ReInfoSelectTrainer(
+            score_fn, params, policy_score_fn, policy_params, args,
+            total_steps=10, ranking_loss_kind="triplet_loss", mesh=mesh8,
+            reset=True,
+        )
+        # strictly DECREASING dev metric: every eval takes the reset
+        # branch with a best_params snapshot that is never refreshed
+        metric = iter(np.linspace(1.0, 0.0, 20))
+        ds = V1Dataset(train, mode="train", task="ranking")
+        collator = WordCollator(tok, query_max_len=4, doc_max_len=8,
+                                mode="train")
+
+        def data():
+            for _ in range(10):
+                yield from batched(iter(ds), 8, collator, drop_last=True)
+
+        out = trainer.train(data(), eval_fn=lambda tr: float(next(metric)))
+        assert out["final_step"] == 10
+        # every post-reset state must still be usable (no deleted buffers)
+        jax.device_get(trainer.state.params)
+
+
 class TestCLI:
     def test_train_v1_reinfoselect_end_to_end(self, vocab_file, tmp_path, capsys):
         from openmatch_tpu.drivers import train_v1

@@ -111,6 +111,43 @@ class TestDictOrStr:
         ns = p.parse_args(["-test", "plain.jsonl"])
         assert ns.test == "plain.jsonl"
 
+    def test_path_with_equals_stays_a_string(self):
+        """A plain path containing '=' must NOT take the dict branch
+        (it used to become {'/data/run': '3/train.jsonl'} and fail deep
+        inside V1Dataset), and a spec value containing '=' survives the
+        once-per-part split."""
+        import argparse
+
+        from openmatch_tpu.drivers.common import DictOrStr
+
+        p = argparse.ArgumentParser()
+        p.add_argument("-test", action=DictOrStr)
+        ns = p.parse_args(["-test", "/data/run=3/train.jsonl"])
+        assert ns.test == "/data/run=3/train.jsonl"
+        # relative path with an identifier-looking prefix before '='
+        ns = p.parse_args(["-test", "run=3/train.jsonl"])
+        assert ns.test == "run=3/train.jsonl"
+        ns = p.parse_args(["-test", "queries=a=b.tsv,docs=d.tsv"])
+        assert ns.test == {"queries": "a=b.tsv", "docs": "d.tsv"}
+
+    def test_build_v1_tokenizer_dispatch(self, vocab_file):
+        """The shared tokenizer rule (train_v1/inference_v1/gen_feature/
+        meta_train): word models get the WordTokenizer; bert without a
+        source raises a clear error naming the flags."""
+        import types
+
+        import pytest as _pytest
+
+        from openmatch_tpu.drivers.common import build_v1_tokenizer
+        from openmatch_tpu.v1.tokenizer import WordTokenizer
+
+        args = types.SimpleNamespace(model="knrm", vocab=vocab_file,
+                                     pretrain=None)
+        assert isinstance(build_v1_tokenizer(args), WordTokenizer)
+        args = types.SimpleNamespace(model="bert", vocab=None, pretrain=None)
+        with _pytest.raises(ValueError, match="-vocab or -pretrain"):
+            build_v1_tokenizer(args)
+
     def test_inference_v1_id_spec(self, vocab_file, tmp_path):
         """-test queries=...,docs=...,trec=... joins ids through V1Dataset's
         dict mode (reference inference.py takes DictOrStr datasets)."""
