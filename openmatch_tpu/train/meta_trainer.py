@@ -23,17 +23,15 @@ import logging
 import os
 from typing import Any, Callable, Dict, Iterable, Iterator, Optional
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..config import TrainingArguments
-from ..parallel.mesh import make_mesh, shard_batch
+from ..parallel.mesh import shard_batch
 from ..research.meta_ltr import make_meta_train_step
 from .reinfoselect_trainer import per_pair_ranking_loss
-from .state import TrainState, linear_warmup_schedule, make_optimizer, save_train_state
+from .state import linear_warmup_schedule, make_replicated_state, save_train_state
 from .v1_trainer import _default_pos_neg_split
 
 logger = logging.getLogger(__name__)
@@ -88,19 +86,11 @@ class MetaLTRTrainer:
         self.args = train_args
         self.task = task
         self.loss_kind = ranking_loss_kind
-        self.mesh = mesh if mesh is not None else make_mesh(train_args.dp_size, train_args.tp_size)
         self.total_steps = total_steps
         self.pos_neg_split = pos_neg_split or _default_pos_neg_split
         self.log_weights_path = log_weights_path
-
-        tx = make_optimizer(train_args, total_steps)
-        with self.mesh:
-            state = TrainState.create(jax.tree.map(lambda x: jnp.array(x, copy=True), params), tx)
-            rep = NamedSharding(self.mesh, P())
-            state = jax.tree.map(
-                lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x, state
-            )
-        self.state = state
+        self.mesh, self.state = make_replicated_state(
+            params, train_args, total_steps, mesh)
 
         warmup = train_args.warmup_steps or int(train_args.warmup_ratio * total_steps)
         schedule = linear_warmup_schedule(train_args.learning_rate, total_steps, warmup)

@@ -93,6 +93,29 @@ def make_optimizer(train_args, total_steps: int) -> optax.GradientTransformation
     return optax.chain(*components)
 
 
+def make_replicated_state(params, train_args, total_steps: int,
+                          mesh=None):
+    """(mesh, TrainState) with a COPIED param tree replicated across the
+    mesh — the construction every v1-family trainer (V1Trainer,
+    ReInfoSelectTrainer, MetaLTRTrainer) shares. Kept in one place so a
+    future placement change (e.g. sharded params) lands everywhere."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import make_mesh
+
+    if mesh is None:
+        mesh = make_mesh(train_args.dp_size, train_args.tp_size)
+    tx = make_optimizer(train_args, total_steps)
+    with mesh:
+        state = TrainState.create(
+            jax.tree.map(lambda x: jnp.array(x, copy=True), params), tx)
+        rep = NamedSharding(mesh, P())
+        state = jax.tree.map(
+            lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x,
+            state)
+    return mesh, state
+
+
 def save_train_state(state: TrainState, output_dir: str):
     os.makedirs(output_dir, exist_ok=True)
     payload = {

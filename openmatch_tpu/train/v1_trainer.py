@@ -21,11 +21,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..config import TrainingArguments
-from ..parallel.mesh import make_mesh, shard_batch
-from .state import TrainState, make_optimizer, save_train_state
+from ..parallel.mesh import shard_batch
+from .state import make_replicated_state, save_train_state
 
 logger = logging.getLogger(__name__)
 
@@ -62,18 +62,10 @@ class V1Trainer:
         self.args = train_args
         self.task = task
         self.loss_kind = ranking_loss_kind
-        self.mesh = mesh if mesh is not None else make_mesh(train_args.dp_size, train_args.tp_size)
         self.total_steps = total_steps
         self.pos_neg_split = pos_neg_split or _default_pos_neg_split
-
-        tx = make_optimizer(train_args, total_steps)
-        with self.mesh:
-            state = TrainState.create(jax.tree.map(lambda x: jnp.array(x, copy=True), params), tx)
-            rep = NamedSharding(self.mesh, P())
-            state = jax.tree.map(
-                lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x, state
-            )
-        self.state = state
+        self.mesh, self.state = make_replicated_state(
+            params, train_args, total_steps, mesh)
         self._step_fn = self._build_step()
 
     def _build_step(self):
