@@ -120,14 +120,18 @@ def build_ann_lines(
 ) -> Iterable[str]:
     for qid, negs in negatives.items():
         positives = [p for p in qrels.get(qid, []) if p in tokenized_corpus]
-        # guard the query too: one qid missing from tokenized_queries must
-        # not abort the whole generation after the expensive encode+search
-        if not positives or not negs or qid not in tokenized_queries:
+        # filter BEFORE the emptiness guard: a published line with
+        # "negatives": [] would crash the trainer's negative sampling a
+        # whole generation after the expensive encode+search. Guard the
+        # query too: one qid missing from tokenized_queries must not
+        # abort the generation either.
+        kept_negs = [n for n in negs if n in tokenized_corpus]
+        if not positives or not kept_negs or qid not in tokenized_queries:
             continue
         yield json.dumps({
             "query": tokenized_queries[qid],
             "positives": [tokenized_corpus[p] for p in positives],
-            "negatives": [tokenized_corpus[n] for n in negs if n in tokenized_corpus],
+            "negatives": [tokenized_corpus[n] for n in kept_negs],
         })
 
 
@@ -210,8 +214,21 @@ def run_ance_alternating(
                 batch = next(it)
             except StopIteration:
                 it = iter(make_data_iter(data_path))
-                batch = next(it)
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    # a bare StopIteration here would escape uncaught;
+                    # name the actual problem instead
+                    raise ValueError(
+                        f"ANCE data file {data_path} yielded no batches "
+                        "— did the generation publish an empty file?"
+                    ) from None
             trainer.train_step(batch)
+        if generation == num_generations - 1:
+            # the last generation's refresh (a full corpus re-encode +
+            # search, the most expensive op in the loop) would produce a
+            # data file nothing ever trains on — skip it
+            break
         data_path = refresh_fn(trainer, generation)
         used.append(data_path)
         logger.info(f"ANCE alternating: generation {generation} -> {data_path}")

@@ -104,6 +104,13 @@ class InferenceDataset:
     def process_one(self, example: dict) -> Dict:
         example = dict(example)
         example.setdefault("id", example.get(self.id_key, example.get("text_id", example.get("_id"))))
+        if example["id"] is None:
+            # str(None) would silently assign EVERY row the id "None" and
+            # search would "work" while returning meaningless doc ids
+            raise ValueError(
+                f"no id field found in example (tried '{self.id_key}', "
+                f"'text_id', '_id'); keys present: {sorted(example)[:8]} — "
+                "pass id_key=<your field>")
         from .tokenization import encode_one
 
         if "text" in example and isinstance(example["text"], list):

@@ -83,7 +83,9 @@ class TrainPreProcessor:
         title = entry.get(self.title_field) or ""
         body = entry.get(self.text_field) or ""
         if self.doc_template is None:
-            content = title + getattr(self.tokenizer, "sep_token", " ") + body
+            # `or " "`: T5 tokenizers HAVE the attribute but it is None
+            # (CollectionPreProcessor.process_line guards the same way)
+            content = title + (getattr(self.tokenizer, "sep_token", " ") or " ") + body
         else:
             content = fill_template(self.doc_template, entry, allow_not_found=self.allow_not_found)
         return self.tokenizer.encode(

@@ -13,8 +13,16 @@ semantics"):
 - negatives, when enough: epoch-offset window over a seed-shuffled,
   doubled list (:96-104)
 - tokenization: ``encode_plus(ids_or_text, truncation='only_first',
-  max_length=q/p_max_len)`` (:59-68); RR pairs concatenate query+passage
-  ids with ``max_length=q_max_len+p_max_len+2`` (:146-155)
+  max_length=q/p_max_len)`` (:59-68)
+- RR pairs: DELIBERATE DEVIATION — the reference concatenates query+
+  passage ids into ONE sequence ([CLS] q p [SEP], no segment ids,
+  :146-155); we build a proper BERT pair ([CLS] q [SEP] p [SEP] with
+  token_type_ids, longest-first budget) because cross-encoders are
+  trained on segment-aware pairs. Training and inference
+  (retriever/reranker.encode_pair) use the SAME encoding, so
+  in-framework results are self-consistent; a reference-trained RR
+  checkpoint migrated here sees a shifted pair layout (see
+  docs/migration.md).
 
 Redesign vs reference: iteration is a plain Python generator with an
 explicit shuffle buffer (no HF datasets dependency in the hot loop), a

@@ -225,6 +225,22 @@ class RerankService(_QueueService):
         self._start_worker()
 
     def warmup(self):
+        """Compile EVERY reachable pad_len bucket, not just S=128: the
+        first live request landing in a cold bucket would otherwise block
+        the single worker thread for a multi-minute remote compile while
+        the bounded queue fills with 503s. Batches are always padded to
+        max_batch, so each bucket is exactly one (max_batch, pad_len)
+        shape — compile it directly."""
+        jnp = self._jnp
+        if self.device_len % 128 == 0:
+            buckets = range(128, self.device_len + 1, 128)
+        else:
+            buckets = (self.device_len,)
+        for pad_len in buckets:
+            ids = jnp.zeros((self.max_batch, pad_len), jnp.int32)
+            np.asarray(self._score(self._params, ids, jnp.ones_like(ids),
+                                   jnp.zeros_like(ids)))
+        # and one real end-to-end request through the tokenizer path
         self.rerank("warmup", [{"id": "w", "text": "warmup"}])
 
     @staticmethod
@@ -317,7 +333,11 @@ def make_handler(service, default_k: int, rerank_service=None):
             if not isinstance(queries, list) or not all(isinstance(q, str) for q in queries):
                 self._send(400, {"error": "'queries' must be a list of strings"})
                 return
-            k = int(req.get("k", default_k))
+            try:
+                k = int(req.get("k", default_k))
+            except (TypeError, ValueError):
+                self._send(400, {"error": "'k' must be an integer"})
+                return
             max_k = service.searcher.k
             if k < 1 or k > max_k:
                 self._send(400, {"error": f"'k' must be in [1, {max_k}] "

@@ -124,8 +124,26 @@ class Retriever:
         # requested depth changes (ANCE loops call search() per batch)
         key = (self._corpus_gen, topk, search_dtype)
         if getattr(self, "_searcher_key", None) != key:
+            # release the stale index BEFORE building the replacement:
+            # holding both (ANCE re-encode loops) doubles the resident
+            # index, and over-ceiling HBM allocations through the tunnel
+            # HANG rather than raise
+            self._searcher = None
+            self._searcher_key = None
+            # dtype-cast on the HOST: the Searcher's mesh branches place
+            # the index themselves (sharded/replicated device_put); a
+            # jnp.asarray here would first stage the full corpus on ONE
+            # device — at 8.8M docs a 12.65 GiB single-chip allocation
+            # held alongside the mesh placement (serve.py documents the
+            # same hazard)
+            import ml_dtypes
+
+            host_dtype = ml_dtypes.bfloat16 \
+                if search_dtype == jnp.bfloat16 else np.dtype(search_dtype)
+            host_emb = np.asarray(self.doc_embeddings).astype(
+                host_dtype, copy=False)
             self._searcher = Searcher(
-                jnp.asarray(self.doc_embeddings, search_dtype), k=topk,
+                host_emb, k=topk,
                 mesh=self.mesh,
                 method=getattr(self.args, "search_method", "auto"),
                 # "queries" replicates the index per chip and splits query

@@ -147,11 +147,15 @@ class TestAlternating:
 
         used = run_ance_alternating(trainer, make_data_iter, refresh_fn,
                                     str(init_path), steps_per_generation=3,
-                                    num_generations=2)
+                                    num_generations=3)
+        # the LAST generation's refresh is skipped (its data file would
+        # never be trained on), so 3 generations -> 2 published files,
+        # both consumed
         assert len(used) == 3
         assert used[1].endswith("ann_training_data_0")
         assert used[2].endswith("ann_training_data_1")
-        assert int(trainer.state.step) == 6
+        assert int(trainer.state.step) == 9
+        assert len(refreshed_with) == 2
         # mined negatives never include the positive
         for gen in refreshed_with:
             for qid, negs in gen.items():

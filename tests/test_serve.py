@@ -371,6 +371,25 @@ class TestRerankServiceBuckets:
                             p_max_len=190, max_batch=4)
         yield svc, model, params
 
+    def test_warmup_compiles_every_bucket(self, wide_service):
+        """warmup() must dispatch one (max_batch, S) batch per reachable
+        pad_len bucket — a cold bucket at serve time costs a multi-minute
+        remote compile inside the single worker thread."""
+        svc, _, _ = wide_service
+        shapes = []
+        orig = svc._score
+
+        def recording(p, ids, mask, segs):
+            shapes.append(tuple(ids.shape))
+            return orig(p, ids, mask, segs)
+
+        svc._score = recording
+        try:
+            svc.warmup()
+        finally:
+            svc._score = orig
+        assert (svc.max_batch, 128) in shapes and (svc.max_batch, 256) in shapes
+
     def test_mixed_chunks_match_direct(self, wide_service):
         from openmatch_tpu.retriever.reranker import encode_pair
 
