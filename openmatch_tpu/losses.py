@@ -72,16 +72,20 @@ def dual_contrastive_loss(
     q_reps: jnp.ndarray,
     p_reps: jnp.ndarray,
     dual_weight: float = 0.1,
+    temperature: float = 1.0,
 ) -> jnp.ndarray:
     """DANCE-style dual learning (reference v1/retrievers/DANCE): the usual
     query→passage contrastive loss plus a passage→query direction, where
     each POSITIVE passage must retrieve its query against all other
-    queries. Encourages a bi-directionally aligned embedding space."""
+    queries. Encourages a bi-directionally aligned embedding space.
+    ``temperature`` divides BOTH directions' scores (essential with
+    --normalize, exactly like simple_contrastive_loss)."""
     n_q = q_reps.shape[0]
     stride = p_reps.shape[0] // n_q
-    q2p = simple_contrastive_loss(q_reps, p_reps)
+    q2p = simple_contrastive_loss(q_reps, p_reps, temperature=temperature)
     positives = p_reps[::stride]  # [n_q, d]
     scores = jnp.dot(positives, q_reps.T, preferred_element_type=jnp.float32)
+    scores = scores / temperature
     targets = jnp.arange(n_q, dtype=jnp.int32)
     p2q = optax.softmax_cross_entropy_with_integer_labels(scores, targets).mean()
     return q2p + dual_weight * p2q

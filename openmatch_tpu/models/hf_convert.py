@@ -54,8 +54,13 @@ def _load_state_dict(model_name_or_path: str, cache_dir: Optional[str] = None) -
 
 
 def _strip_prefix(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """Drop the leading model-type prefix (bert./roberta./electra./model.)."""
-    prefixes = ("bert.", "roberta.", "electra.", "model.", "distilbert.")
+    """Drop the leading model-type prefix (bert./roberta./electra./model.).
+
+    distilbert is deliberately NOT listed: its layer keys
+    (transformer.layer.N.attention.q_lin.*) and config fields differ from
+    the BERT layout entirely — listing the prefix would advertise a
+    conversion that fails on the first layer key."""
+    prefixes = ("bert.", "roberta.", "electra.", "model.")
     out = {}
     for k, v in sd.items():
         for p in prefixes:
@@ -100,7 +105,7 @@ def convert_bert_state_dict(
         params["token_type_embeddings"] = {
             "embedding": sd["embeddings.token_type_embeddings.weight"]
         }
-    else:  # distil-style models without segments
+    else:  # BERT-layout checkpoints shipped without segment embeddings
         params["token_type_embeddings"] = {
             "embedding": np.zeros((config.type_vocab_size, emb_dim), np.float32)
         }

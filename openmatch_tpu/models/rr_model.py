@@ -169,8 +169,17 @@ class RRModel:
         else:
             pos_id = neg_id = None
             if model_args.pos_token and tokenizer is not None:
-                pos_id = tokenizer.encode(model_args.pos_token, add_special_tokens=False)[0]
-                neg_id = tokenizer.encode(model_args.neg_token, add_special_tokens=False)[0]
+                def _single_id(token, flag):
+                    ids = tokenizer.encode(token, add_special_tokens=False)
+                    if len(ids) != 1:
+                        raise ValueError(
+                            f"{flag}={token!r} tokenizes to {len(ids)} pieces "
+                            f"({ids}); monoT5 scoring needs a single-token "
+                            "label (reference uses 'true'/'false')")
+                    return ids[0]
+
+                pos_id = _single_id(model_args.pos_token, "--pos_token")
+                neg_id = _single_id(model_args.neg_token, "--neg_token")
             if model_args.encoder_only:
                 from .t5 import load_t5_encoder
 
@@ -196,6 +205,13 @@ class RRModel:
                 head_in_dim=model_args.projection_in_dim if backbone == "bert" else d,
                 dtype=dtype,
             )
+            if model.is_monot5 and (pos_id is None or neg_id is None):
+                raise ValueError(
+                    "monoT5 reranking scores the decoder logits at the "
+                    "[neg, pos] label tokens — pass --pos_token/--neg_token "
+                    "(e.g. 'true'/'false', reference reranking_model.py:"
+                    "110-114); without them the first score() call would "
+                    "fail deep inside tracing")
             params = {"encoder": jax.tree.map(jnp.asarray, enc_params)}
             if not model.is_monot5:
                 reps = jnp.zeros((1, model.head_in_dim), dtype)

@@ -36,7 +36,7 @@ from ..models.dr_model import DRModel
 from ..parallel.grad_cache import grad_cache_value_and_grad
 from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh, shard_batch
 from ..parallel.tp import place_params
-from .state import TrainState, latest_checkpoint, load_train_state, make_optimizer, save_train_state
+from .state import TrainState, latest_checkpoint, load_train_state, make_optimizer, make_replicated_state, save_train_state
 
 logger = logging.getLogger(__name__)
 
@@ -63,17 +63,25 @@ class DRTrainer:
                 "path assumes replicated params); grad_cache composes "
                 "with TP through the jit path"
             )
+        if train_args.grad_cache and train_args.dual_learning:
+            raise ValueError(
+                "grad_cache does not implement dual_learning: all GradCache "
+                "branches compute the plain contrastive loss, so the DANCE "
+                "p2q term would be silently dropped — train dual_learning "
+                "without grad_cache (or add the dual term to the chunked "
+                "rep loss first)"
+            )
         self._dropout = getattr(model, "dropout_active", False)
 
-        tx = make_optimizer(train_args, total_steps)
-        with self.mesh:
-            # private copy: the step function donates the state, and the
-            # replicated array may alias the caller's buffers
-            params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
-            if self.tp_size > 1:
+        if self.tp_size > 1:
+            tx = make_optimizer(train_args, total_steps)
+            with self.mesh:
+                # private copy: the step function donates the state, and
+                # the replicated array may alias the caller's buffers.
                 # Megatron-style specs over the "model" axis; the optimizer
                 # state inherits the placement through jit propagation
                 # (zeros_like(p) carries p's sharding).
+                params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
                 params = place_params(params, self.mesh)
                 opt_state = jax.jit(tx.init)(params)
                 state = TrainState(
@@ -82,14 +90,10 @@ class DRTrainer:
                 )
                 rep = NamedSharding(self.mesh, P())
                 state = state.replace(step=jax.device_put(state.step, rep))
-            else:
-                state = TrainState.create(params, tx)
-                # replicate params/opt state across the mesh
-                rep = NamedSharding(self.mesh, P())
-                state = jax.tree.map(
-                    lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x, state
-                )
-        self.state = state
+            self.state = state
+        else:
+            _, self.state = make_replicated_state(
+                params, train_args, total_steps, self.mesh)
         self._step_fn = self._build_step()
 
     # ------------------------------------------------------------------
@@ -106,7 +110,9 @@ class DRTrainer:
             params, batch["passage"]["input_ids"],
             batch["passage"]["attention_mask"], dropout_rng=r_p)
         if self.args.dual_learning:
-            return dual_contrastive_loss(q_reps, p_reps, self.args.dual_weight)
+            return dual_contrastive_loss(
+                q_reps, p_reps, self.args.dual_weight,
+                temperature=self.args.score_temperature)
         return simple_contrastive_loss(q_reps, p_reps,
                                        temperature=self.args.score_temperature)
 
@@ -287,19 +293,26 @@ class DRTrainer:
         args = self.args
         losses, t0 = [], time.time()
         log_loss = 0.0
-        for i, batch in enumerate(data_iter):
-            if self.total_steps > 0 and int(self.state.step) >= self.total_steps:
+        # host-side step mirror: train_step advances state.step by exactly
+        # 1, so per-step int(self.state.step)/float(loss) readbacks (a
+        # device->host sync each, ~27 ms through the tunnel) are avoided;
+        # the loss accumulates as a device value and syncs only at the
+        # logging boundary, divided by the ACTUAL window size (a resume
+        # mid-window no longer under-reports the first average)
+        step, window = int(self.state.step), 0
+        for batch in data_iter:
+            if self.total_steps > 0 and step >= self.total_steps:
                 break
-            loss = self.train_step(batch)
-            log_loss += float(loss)
-            step = int(self.state.step)
-            if step % args.logging_steps == 0 and step > 0:
+            log_loss = log_loss + self.train_step(batch)
+            step += 1
+            window += 1
+            if step % args.logging_steps == 0:
                 dt = time.time() - t0
-                avg = log_loss / args.logging_steps
-                logger.info(f"step {step}/{self.total_steps} loss {avg:.4f} ({dt / args.logging_steps:.2f}s/step)")
+                avg = float(log_loss) / window
+                logger.info(f"step {step}/{self.total_steps} loss {avg:.4f} ({dt / window:.2f}s/step)")
                 losses.append(avg)
-                log_loss, t0 = 0.0, time.time()
-            if args.save_steps and step > 0 and step % args.save_steps == 0:
+                log_loss, window, t0 = 0.0, 0, time.time()
+            if args.save_steps and step % args.save_steps == 0:
                 self.save_checkpoint()
             if eval_fn is not None and args.eval_steps and step % args.eval_steps == 0:
                 eval_fn(self)

@@ -20,8 +20,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import TrainingArguments
 from ..models.rr_model import RRModel
-from ..parallel.mesh import DATA_AXIS, make_mesh, shard_batch
-from .state import TrainState, latest_checkpoint, load_train_state, make_optimizer, save_train_state
+from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh, shard_batch
+from .state import latest_checkpoint, load_train_state, make_replicated_state, save_train_state
 
 logger = logging.getLogger(__name__)
 
@@ -38,17 +38,15 @@ class RRTrainer:
         self.model = model
         self.args = train_args
         self.mesh = mesh if mesh is not None else make_mesh(train_args.dp_size, train_args.tp_size)
+        if self.mesh.shape.get(MODEL_AXIS, 1) > 1:
+            raise ValueError(
+                "RRTrainer does not implement tensor parallelism: params "
+                "would be fully replicated and tp_size would only shrink "
+                "the data axis — train with tp_size=1 (DRTrainer is the "
+                "TP-capable trainer)")
         self.total_steps = total_steps
-        tx = make_optimizer(train_args, total_steps)
-        with self.mesh:
-            # private copy: the step function donates the state, and the
-            # replicated array may alias the caller's buffers
-            state = TrainState.create(jax.tree.map(lambda x: jnp.array(x, copy=True), params), tx)
-            rep = NamedSharding(self.mesh, P())
-            state = jax.tree.map(
-                lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x, state
-            )
-        self.state = state
+        _, self.state = make_replicated_state(
+            params, train_args, total_steps, self.mesh)
         self._step_fn = self._build_step()
 
     def _build_step(self):
@@ -79,18 +77,25 @@ class RRTrainer:
     def train(self, data_iter: Iterable) -> Dict[str, Any]:
         args = self.args
         losses, log_loss, t0 = [], 0.0, time.time()
+        # host-side step mirror: train_step advances state.step by exactly
+        # 1, so per-step int(self.state.step)/float(loss) readbacks (a
+        # device->host sync each, ~27 ms through the tunnel) are avoided;
+        # the loss accumulates as a device value and syncs only at the
+        # logging boundary, divided by the ACTUAL window size (a resume
+        # mid-window no longer under-reports the first average)
+        step, window = int(self.state.step), 0
         for batch in data_iter:
-            if self.total_steps > 0 and int(self.state.step) >= self.total_steps:
+            if self.total_steps > 0 and step >= self.total_steps:
                 break
-            loss = self.train_step(batch)
-            log_loss += float(loss)
-            step = int(self.state.step)
-            if step % args.logging_steps == 0 and step > 0:
-                avg = log_loss / args.logging_steps
+            log_loss = log_loss + self.train_step(batch)
+            step += 1
+            window += 1
+            if step % args.logging_steps == 0:
+                avg = float(log_loss) / window
                 logger.info(f"step {step}/{self.total_steps} loss {avg:.4f}")
                 losses.append(avg)
-                log_loss, t0 = 0.0, time.time()
-            if args.save_steps and step > 0 and step % args.save_steps == 0:
+                log_loss, window, t0 = 0.0, 0, time.time()
+            if args.save_steps and step % args.save_steps == 0:
                 self.save_checkpoint()
         return {"losses": losses, "final_step": int(self.state.step)}
 

@@ -139,10 +139,22 @@ def load_train_state(ckpt_dir: str, template: TrainState) -> TrainState:
             },
             f.read(),
         )
+    def _restore(host_leaf, template_leaf):
+        # place each restored leaf with the TEMPLATE's sharding: a plain
+        # jnp.asarray would materialize the whole tree on the single
+        # default device — wrong for TP-sharded params (an over-ceiling
+        # allocation for models big enough to need TP hangs the tunnel)
+        # and unusable on multi-host meshes
+        sharding = getattr(template_leaf, "sharding", None)
+        if sharding is not None:
+            return jax.device_put(jnp.asarray(host_leaf), sharding)
+        return jnp.asarray(host_leaf)
+
     return template.replace(
-        step=jnp.asarray(payload["step"]),
-        params=jax.tree.map(jnp.asarray, payload["params"]),
-        opt_state=jax.tree.map(jnp.asarray, payload["opt_state"]),
+        step=_restore(payload["step"], template.step),
+        params=jax.tree.map(_restore, payload["params"], template.params),
+        opt_state=jax.tree.map(_restore, payload["opt_state"],
+                               template.opt_state),
     )
 
 
