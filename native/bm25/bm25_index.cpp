@@ -18,6 +18,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <exception>
 #include <vector>
 
 namespace {
@@ -173,17 +174,33 @@ BM25Index* bm25_load(const char* path) {
             std::fread(&n_docs, sizeof(int64_t), 1, f) == 1 &&
             std::fread(&n_post, sizeof(int64_t), 1, f) == 1 &&
             std::fread(&idx->avg_len, sizeof(double), 1, f) == 1;
+  // validate header fields before trusting them: a truncated/corrupt
+  // file could carry negative or absurd sizes, and a resize() throw
+  // would otherwise escape the extern "C" boundary into ctypes (UB)
+  // instead of the documented nullptr -> Python IOError path
+  constexpr int64_t kMaxElems = int64_t(1) << 40;  // ~1T entries: sanity cap
+  if (ok && (idx->num_terms < 0 || n_docs < 0 || n_post < 0 ||
+             idx->num_terms > kMaxElems || n_docs > kMaxElems ||
+             n_post > kMaxElems)) {
+    ok = false;
+  }
   if (ok) {
-    idx->doc_len.resize(n_docs);
-    idx->offsets.resize(idx->num_terms + 1);
-    idx->post_docs.resize(n_post);
-    idx->post_tfs.resize(n_post);
-    idx->idf.resize(idx->num_terms);
-    ok = std::fread(idx->doc_len.data(), sizeof(int32_t), n_docs, f) == (size_t)n_docs &&
-         std::fread(idx->offsets.data(), sizeof(int64_t), idx->num_terms + 1, f) == (size_t)(idx->num_terms + 1) &&
-         std::fread(idx->post_docs.data(), sizeof(int32_t), n_post, f) == (size_t)n_post &&
-         std::fread(idx->post_tfs.data(), sizeof(int32_t), n_post, f) == (size_t)n_post &&
-         std::fread(idx->idf.data(), sizeof(float), idx->num_terms, f) == (size_t)idx->num_terms;
+    try {
+      idx->doc_len.resize(n_docs);
+      idx->offsets.resize(idx->num_terms + 1);
+      idx->post_docs.resize(n_post);
+      idx->post_tfs.resize(n_post);
+      idx->idf.resize(idx->num_terms);
+    } catch (const std::exception&) {
+      ok = false;
+    }
+    if (ok) {
+      ok = std::fread(idx->doc_len.data(), sizeof(int32_t), n_docs, f) == (size_t)n_docs &&
+           std::fread(idx->offsets.data(), sizeof(int64_t), idx->num_terms + 1, f) == (size_t)(idx->num_terms + 1) &&
+           std::fread(idx->post_docs.data(), sizeof(int32_t), n_post, f) == (size_t)n_post &&
+           std::fread(idx->post_tfs.data(), sizeof(int32_t), n_post, f) == (size_t)n_post &&
+           std::fread(idx->idf.data(), sizeof(float), idx->num_terms, f) == (size_t)idx->num_terms;
+    }
   }
   std::fclose(f);
   if (!ok) {

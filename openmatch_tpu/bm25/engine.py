@@ -34,7 +34,10 @@ def _build_library() -> str:
     os.makedirs(cache_dir, exist_ok=True)
     lib_path = os.path.join(cache_dir, f"libbm25_{digest}.so")
     if not os.path.exists(lib_path):
-        tmp = lib_path + ".tmp"
+        # per-process tmp name: two processes compiling concurrently must
+        # not write the same file (os.replace makes the final publish
+        # atomic; the loser's replace just installs an identical .so)
+        tmp = f"{lib_path}.{os.getpid()}.tmp"
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
              src, "-o", tmp],
@@ -163,6 +166,11 @@ class BM25Index:
     # -- persistence (native blob + vocab/doc-id sidecars) ---------------
 
     def save(self, path: str):
+        if not self._finalized:
+            # the native writer fwrites num_terms+1 offsets, which only
+            # exist after finalize() builds the CSR — saving earlier
+            # would write a corrupt blob (or crash)
+            raise RuntimeError("finalize() the index before save()")
         os.makedirs(path, exist_ok=True)
         rc = self._lib.bm25_save(self._handle, os.path.join(path, "index.bin").encode())
         if rc != 0:

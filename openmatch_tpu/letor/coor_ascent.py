@@ -12,6 +12,7 @@ retrieval").
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable, Dict, Optional
 
 import numpy as np
@@ -134,12 +135,18 @@ class CoorAscent:
     # -- persistence ----------------------------------------------------
 
     def save(self, path: str):
+        if not path.endswith(".npz"):
+            path += ".npz"  # np.savez appends it anyway; keep load(path) working
         np.savez(path, weights=self.weights,
-                 meta=np.array([self.metric_k], np.int32))
+                 meta=np.array([self.metric_k], np.int32),
+                 metric=np.array(self.metric_name))
 
     @classmethod
     def load(cls, path: str) -> "CoorAscent":
+        if not path.endswith(".npz") and not os.path.exists(path):
+            path += ".npz"
         with np.load(path) as z:
-            model = cls(metric_k=int(z["meta"][0]))
+            model = cls(metric_k=int(z["meta"][0]),
+                        metric=str(z["metric"]) if "metric" in z else "ndcg")
             model.weights = z["weights"]
         return model

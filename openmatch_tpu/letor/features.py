@@ -97,6 +97,13 @@ def kfold_split(fs: FeatureSet, k: int, seed: int = 0) -> List[Tuple[FeatureSet,
     """Split by QUERY into k (train, test) folds (RankLib -kcv semantics)."""
     rng = np.random.RandomState(seed)
     qids = sorted(set(fs.qids))
+    if k < 2:
+        raise ValueError(f"k-fold needs k >= 2 (got k={k}: the train "
+                         "split of a 1-fold would be empty)")
+    if k > len(qids):
+        raise ValueError(
+            f"k={k} folds but only {len(qids)} unique queries — every "
+            "fold needs at least one test query")
     rng.shuffle(qids)
     folds = [qids[i::k] for i in range(k)]
     groups = fs.query_groups()

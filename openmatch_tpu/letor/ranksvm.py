@@ -34,7 +34,6 @@ class RankSVM:
         return np.asarray(pairs, np.int64)
 
     def fit(self, fs: FeatureSet) -> "RankSVM":
-        rng = np.random.RandomState(self.seed)
         pairs = self._pairs(fs)
         if len(pairs) == 0:
             self.weights = np.zeros(fs.num_features)
@@ -46,10 +45,13 @@ class RankSVM:
         X = (fs.features - mu) / sd
         w = np.zeros(fs.num_features)
         n = len(pairs)
+        # the update is FULL-batch (sum over all violated pairs), so the
+        # pair-difference matrix is invariant across epochs — hoist it
+        # (and drop the no-op per-epoch shuffle): identical weights,
+        # ~epochs x cheaper
+        diffs = X[pairs[:, 0]] - X[pairs[:, 1]]
         for epoch in range(self.epochs):
-            rng.shuffle(pairs)
             lr = self.lr / (1 + epoch * 0.1)
-            diffs = X[pairs[:, 0]] - X[pairs[:, 1]]
             margins = diffs @ w
             viol = margins < 1.0
             grad = self.c * w - diffs[viol].sum(axis=0) / n
@@ -64,10 +66,16 @@ class RankSVM:
         return fs.features @ self.weights + getattr(self, "bias", 0.0)
 
     def save(self, path: str):
+        if not path.endswith(".npz"):
+            path += ".npz"  # np.savez appends it anyway; keep load(path) working
         np.savez(path, weights=self.weights, bias=np.array([getattr(self, "bias", 0.0)]))
 
     @classmethod
     def load(cls, path: str) -> "RankSVM":
+        import os
+
+        if not path.endswith(".npz") and not os.path.exists(path):
+            path += ".npz"
         with np.load(path) as z:
             model = cls()
             model.weights = z["weights"]

@@ -720,6 +720,16 @@ def fused_plain_gmax_segs(
     # hardware query tile at 128 lanes, and padding Q to a multiple of an
     # unclamped caller default (512) would quadruple the gmax output
     tile_q = min(tile_q, 128)
+    # same scoped-VMEM budget guard as the single-buffer fused_plain_gmax
+    # — the two are interchangeable storage layouts, and an oversized
+    # block plan should fail with the same actionable error, not a raw
+    # Mosaic scoped-vmem stack OOM
+    need = 2 * (tile_g * GROUP * D * 2 + tile_q * D * 2
+                + tile_g * tile_q * 4) + tile_g * GROUP * tile_q * 4
+    need += tile_g * tile_q * 4 + 2 * tile_q * (tile_g // emit_l1) * 4
+    if need > _SCOPED_VMEM:
+        raise ValueError(f"tile_g={tile_g}, tile_q={tile_q} needs "
+                         f"{need / 2**20:.1f} MB VMEM")
     q_pad = (-Q) % tile_q
     if q_pad:
         queries = jnp.pad(queries, ((0, q_pad), (0, 0)))

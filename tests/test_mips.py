@@ -68,6 +68,28 @@ class TestShardedSearch:
         np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5)
         np.testing.assert_array_equal(np.asarray(i), ei)
 
+    def test_k_exceeds_shard_rows_returns_full_k(self, mesh8):
+        """k larger than one shard's row count must still return min(k, N)
+        results: per-shard depth is bounded by the shard but the merge
+        keeps k of the gathered candidates (it used to truncate the whole
+        result to shard_rows — [Q, 600] for k=1000 over 8x600 shards)."""
+        rng = np.random.RandomState(5)
+        q = rng.randn(3, 8).astype(np.float32)
+        c = rng.randn(160, 8).astype(np.float32)  # 8 shards x 20 rows
+        k = 50  # > shard_rows=20, < N=160
+        # XLA scan path
+        s, i = sharded_search(jnp.array(q), jnp.array(c), k=k, mesh=mesh8,
+                              method="pyramid")
+        es, ei = brute_topk(q, c, k)
+        assert np.asarray(s).shape == (3, k)
+        np.testing.assert_array_equal(np.asarray(i), ei)
+        np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5)
+        # fused-kernel padded path (Searcher method="pallas" over the mesh)
+        searcher = Searcher(c, k=k, mesh=mesh8, method="pallas")
+        s2, i2 = searcher.search(q)
+        assert np.asarray(s2).shape == (3, k)
+        np.testing.assert_array_equal(np.asarray(i2), ei)
+
     def test_searcher_padded_corpus(self, mesh8):
         rng = np.random.RandomState(2)
         q = rng.randn(3, 8).astype(np.float32)
