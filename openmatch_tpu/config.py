@@ -278,6 +278,13 @@ class ArgumentParser:
                     i += 1
             if name not in known:
                 raise ValueError(f"Unknown flag --{name}")
+            if value is True and known[name].type not in (bool, "bool"):
+                # only declared-bool fields accept the bare-flag form:
+                # '--model_name_or_path --do_train' used to set the path
+                # to True, and a bare '--max_steps' became int(True)=1 —
+                # both silent misconfigurations
+                raise ValueError(
+                    f"--{name} expects a value (it is not a boolean flag)")
             data[name] = value
         return self.parse_dict(data)
 

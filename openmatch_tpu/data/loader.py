@@ -50,21 +50,39 @@ def prefetch(iterator: Iterable, depth: int = 2) -> Iterator:
     encode shards / training epochs)."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
+                # bounded put with a stop check: a consumer that abandons
+                # the generator (break at total_steps, GC) must not leave
+                # this thread blocked on q.put forever, pinning the open
+                # upstream iterator and depth+1 buffered batches for the
+                # process lifetime
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
             q.put(_END)
         except BaseException as e:  # noqa: BLE001 — forwarded, not swallowed
             q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # runs on normal exhaustion, consumer break (GeneratorExit), or
+        # consumer exception — release the worker either way
+        stop.set()

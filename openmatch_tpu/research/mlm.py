@@ -43,7 +43,21 @@ class MLMModel(nn.Module):
 
 
 def mlm_logits(model: MLMModel, params, input_ids, attention_mask) -> jnp.ndarray:
-    """[B, S, vocab] logits with the decoder tied to the word embeddings."""
+    """[B, S, vocab] logits with the decoder tied to the word embeddings.
+
+    The tied decoder assumes embedding dim == hidden_size (standard BERT);
+    a factorized-embedding checkpoint (BertConfig.embedding_size set,
+    ELECTRA-style) would fail the einsum with a shape error deep in
+    tracing — reject it by name instead."""
+    cfg = model.config
+    emb_dim = getattr(cfg, "embedding_size", None) or cfg.hidden_size
+    if emb_dim != cfg.hidden_size:
+        raise ValueError(
+            f"MLM head ties the decoder to the word-embedding table, which "
+            f"requires embedding_size ({emb_dim}) == hidden_size "
+            f"({cfg.hidden_size}); factorized-embedding encoders need a "
+            "projection back to the embedding dim, which this head does "
+            "not implement")
     x = model.apply({"params": params}, input_ids, attention_mask)
     table = params["bert"]["word_embeddings"]["embedding"]
     logits = jnp.einsum("bsd,vd->bsv", x.astype(jnp.float32), table.astype(jnp.float32))

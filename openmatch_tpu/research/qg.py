@@ -63,7 +63,9 @@ class QGModel:
         )
         return seq2seq_loss(out["logits"], batch["labels"], batch["label_mask"])
 
-    def make_train_step(self, tx):
+    def make_train_step(self):
+        # the optimizer in effect is the TrainState's own tx (a tx
+        # parameter here was dead and misleading)
         @partial(jax.jit, donate_argnums=(0,))
         def step(state, batch):
             loss, grads = jax.value_and_grad(self.loss)(state.params, batch)
@@ -97,17 +99,25 @@ def generate_seed_queries(
     batch_size: int = 16,
     temperature: float = 0.0,
     eos_token_id: int = 1,
+    rng=None,
 ) -> Dict[str, str]:
     """Step 2 of the reference pipeline (qg_inference.sh,
     contrastive-supervision-synthesis.md:45-60): one seed query per
     target-domain document from the trained QG model. Returns
-    {doc_id: query_text} (empty generations dropped)."""
+    {doc_id: query_text} (empty generations dropped). ``temperature`` > 0
+    needs ``rng`` (one PRNGKey, split per batch) — greedy_generate gates
+    sampling on BOTH, so temperature alone silently decoded greedily."""
     from ..data.collators import pad_ids
 
+    if temperature and rng is None:
+        rng = jax.random.PRNGKey(0)
     ids = list(doc_ids if doc_ids is not None else corpus.keys())
     out: Dict[str, str] = {}
     for i in range(0, len(ids), batch_size):
         chunk = ids[i : i + batch_size]
+        b_rng = None
+        if rng is not None:
+            rng, b_rng = jax.random.split(rng)
         enc = [
             tokenizer(corpus[d], truncation=True,
                       max_length=max_src_len)["input_ids"]
@@ -117,7 +127,7 @@ def generate_seed_queries(
         gen = np.asarray(qg.generate(batch["input_ids"], batch["attention_mask"],
                                      max_new_tokens=max_new_tokens,
                                      temperature=temperature,
-                                     eos_token_id=eos_token_id))
+                                     eos_token_id=eos_token_id, rng=b_rng))
         for d, g in zip(chunk, gen):
             q = _decode_generated(tokenizer, g, eos_token_id)
             if q:
@@ -169,16 +179,24 @@ def synthesize_training_data(
     batch_size: int = 16,
     temperature: float = 0.0,
     eos_token_id: int = 1,
+    rng=None,
 ) -> int:
     """Generate contrastive queries for (pos, neg) doc pairs and write
-    OpenMatch train jsonl. Returns number of examples written."""
+    OpenMatch train jsonl. Returns number of examples written.
+    ``temperature`` > 0 needs ``rng`` (auto-seeded when omitted) — see
+    generate_seed_queries."""
     from ..data.collators import pad_ids
 
+    if temperature and rng is None:
+        rng = jax.random.PRNGKey(0)
     pair_list = list(pairs)
     n = 0
     with open(out_path, "w") as f:
         for i in range(0, len(pair_list), batch_size):
             chunk = pair_list[i : i + batch_size]
+            b_rng = None
+            if rng is not None:
+                rng, b_rng = jax.random.split(rng)
             enc = [
                 make_contrast_input(tokenizer, corpus[p], corpus[ng], max_src_len)
                 for _, p, ng in chunk
@@ -187,7 +205,7 @@ def synthesize_training_data(
             gen = np.asarray(qg.generate(batch["input_ids"], batch["attention_mask"],
                                          max_new_tokens=max_new_tokens,
                                          temperature=temperature,
-                                         eos_token_id=eos_token_id))
+                                         eos_token_id=eos_token_id, rng=b_rng))
             for (qid, pos, neg), ids in zip(chunk, gen):
                 query = _decode_generated(tokenizer, ids, eos_token_id)
                 if not query:

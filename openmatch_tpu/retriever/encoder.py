@@ -27,11 +27,23 @@ from ..models.dr_model import DRModel
 
 
 def make_encode_fn(model: DRModel, is_query: bool):
-    @jax.jit
-    def encode(params, input_ids, attention_mask):
-        return model.encode(params, input_ids, attention_mask, is_query=is_query)
+    """Cached per (model, is_query) ON the model instance (DRModel is a
+    plain dataclass, not hashable): the ANCE generator calls
+    encode_corpus + encode_queries every generation, and a fresh @jax.jit
+    closure per call would retrace/re-lower the encode program each time
+    (minutes over the remote-compile tunnel) — same reason as
+    models/t5._cached_decode_step."""
+    attr = "_encode_fn_q" if is_query else "_encode_fn_p"
+    fn = getattr(model, attr, None)
+    if fn is None:
 
-    return encode
+        @jax.jit
+        def encode(params, input_ids, attention_mask):
+            return model.encode(params, input_ids, attention_mask, is_query=is_query)
+
+        setattr(model, attr, encode)
+        fn = encode
+    return fn
 
 
 def encode_dataset(
@@ -55,7 +67,10 @@ def encode_dataset(
         chunks.append(reps.astype(out_dtype))
         all_ids.extend(text_ids[:n_valid])
     if not chunks:
-        return np.zeros((0, 0), out_dtype), []
+        # (0, D), not (0, 0): an empty shard (encode_num_shard > docs)
+        # must still concatenate against real [n, D] shards at load time
+        d = model.head_out_dim if model.has_head else model.head_in_dim
+        return np.zeros((0, d), out_dtype), []
     return np.concatenate(chunks, axis=0), all_ids
 
 

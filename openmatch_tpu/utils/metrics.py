@@ -145,6 +145,8 @@ def eval_mrr(qrels: Qrels, run: Run, cutoff: Optional[int] = None) -> Dict[str, 
 
 _MEASURES = {
     "mrr": lambda qrel, ranked, k: reciprocal_rank(qrel, ranked, k),
+    # pytrec_eval's canonical name for MRR — reference recipes pass it
+    "recip_rank": lambda qrel, ranked, k: reciprocal_rank(qrel, ranked, k),
     "ndcg": ndcg_at_k,
     "recall": recall_at_k,
     "p": precision_at_k,
@@ -200,7 +202,12 @@ class Metric:
     def get_metric(self, qrels: str, trec: str, metric: str = "ndcg_cut_10") -> float:
         q = load_qrels(qrels)
         r = load_run(trec)
-        return evaluate_run(q, r, [metric], skip_missing=False)[metric]
+        # skip_missing=True: pytrec_eval (and therefore the reference
+        # Metric) aggregates over run∩qrel queries only — averaging a 0
+        # for every qrel query absent from the run silently deflates
+        # metrics on partial runs (rerank-a-subset, truncated runs) and
+        # skews ReInfoSelect/ANCE rewards computed from them
+        return evaluate_run(q, r, [metric], skip_missing=True)[metric]
 
     def get_mrr(self, qrels: str, trec: str, metric: str = "mrr_cut_10") -> float:
         k = int(metric.split("_")[-1])

@@ -94,7 +94,7 @@ class TestQGTrainingAndGeneration:
         }
         tx = optax.adam(5e-3)
         state = TrainState.create(qg.params, tx)
-        step = qg.make_train_step(tx)
+        step = qg.make_train_step()
         for _ in range(300):
             state, loss = step(state, batch)
         assert float(loss) < 0.1
