@@ -63,14 +63,6 @@ class DRTrainer:
                 "path assumes replicated params); grad_cache composes "
                 "with TP through the jit path"
             )
-        if train_args.grad_cache and train_args.dual_learning:
-            raise ValueError(
-                "grad_cache does not implement dual_learning: all GradCache "
-                "branches compute the plain contrastive loss, so the DANCE "
-                "p2q term would be silently dropped — train dual_learning "
-                "without grad_cache (or add the dual term to the chunked "
-                "rep loss first)"
-            )
         self._dropout = getattr(model, "dropout_active", False)
 
         if self.tp_size > 1:
@@ -130,6 +122,19 @@ class DRTrainer:
             n_dev = mesh.shape[DATA_AXIS]
             per_dev_q = max(args.per_device_train_batch_size, 1)
             q_chunks = max(per_dev_q // max(args.gc_q_chunk_size, 1), 1)
+            # dual_learning (DANCE's q<->p objective) composes freely with
+            # GradCache: pass 2 of the chunked update already materializes
+            # the FULL rep matrices, so the p2q term costs one extra
+            # [n_q, n_q] matmul on cached reps and the replayed gradient
+            # stays exact (gradient-identity pinned in test_training.py)
+            if args.dual_learning:
+                rep_loss = functools.partial(
+                    dual_contrastive_loss, dual_weight=args.dual_weight,
+                    temperature=args.score_temperature)
+            else:
+                rep_loss = functools.partial(
+                    simple_contrastive_loss,
+                    temperature=args.score_temperature)
 
             if self.tp_size > 1:
                 # TP x GradCache (VERDICT r2 weak #6): run the chunked
@@ -155,9 +160,7 @@ class DRTrainer:
                     n_dev * per_dev_q // max(args.gc_q_chunk_size, 1), 1)
                 p_chunks_of = lambda n: max(
                     n // max(args.gc_p_chunk_size, 1), 1)
-                loss_fn = functools.partial(
-                    simple_contrastive_loss,
-                    temperature=args.score_temperature)
+                loss_fn = rep_loss
 
                 @partial(jax.jit, donate_argnums=(0,))
                 def step(state, batch):
@@ -185,15 +188,18 @@ class DRTrainer:
                 # shard replayed param grads are partial sums — combine
                 # with psum, not pmean.
                 def gc_loss(q_reps, p_reps):
+                    # positive alignment survives the tiled gather: shard i
+                    # contributes [nq_local] queries and [nq_local*stride]
+                    # passages at matching offsets, so global query g's
+                    # positive still sits at g*stride — both the simple
+                    # targets and the dual p2q positives hold
                     qg = jax.lax.all_gather(q_reps, DATA_AXIS, tiled=True)
                     pg = jax.lax.all_gather(p_reps, DATA_AXIS, tiled=True)
-                    return simple_contrastive_loss(
-                        qg, pg, temperature=args.score_temperature)
+                    return rep_loss(qg, pg)
 
                 reduce_grads = lambda g: jax.lax.psum(g, DATA_AXIS)
             else:
-                gc_loss = functools.partial(
-                    simple_contrastive_loss, temperature=args.score_temperature)
+                gc_loss = rep_loss
                 reduce_grads = lambda g: jax.lax.pmean(g, DATA_AXIS)
 
             def enc_q(pr, b, rng=None):

@@ -69,6 +69,36 @@ class TestGradCache:
         for a, b in zip(jax.tree.leaves(ref_grads), jax.tree.leaves(gc_grads)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    def test_dual_learning_matches_plain_grad(self):
+        """VERDICT r4 #7: the DANCE dual objective under GradCache is
+        gradient-identical to the non-chunked dual loss (pass 2 sees the
+        full rep matrices, so the p2q term rides the cached reps)."""
+        from openmatch_tpu.losses import dual_contrastive_loss
+
+        model, params = tiny_model()
+        rng = np.random.RandomState(3)
+        batch = make_batch(rng, n_q=8, n_psg=2)
+        loss_fn = lambda q, p: dual_contrastive_loss(q, p, dual_weight=0.25)
+
+        def plain_loss(p):
+            q = model.encode_query(p, batch["query"]["input_ids"], batch["query"]["attention_mask"])
+            ps = model.encode_passage(p, batch["passage"]["input_ids"], batch["passage"]["attention_mask"])
+            return loss_fn(q, ps)
+
+        ref_loss, ref_grads = jax.value_and_grad(plain_loss)(params)
+
+        vg = grad_cache_value_and_grad(
+            lambda p, b: model.encode_query(p, b["input_ids"], b["attention_mask"]),
+            lambda p, b: model.encode_passage(p, b["input_ids"], b["attention_mask"]),
+            loss_fn,
+            q_chunks=4,
+            p_chunks=4,
+        )
+        gc_loss, gc_grads = vg(params, batch["query"], batch["passage"])
+        assert float(gc_loss) == pytest.approx(float(ref_loss), rel=1e-5)
+        for a, b in zip(jax.tree.leaves(ref_grads), jax.tree.leaves(gc_grads)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
 
 class TestDRTrainer:
     @pytest.mark.parametrize("mode", ["global", "local", "grad_cache"])
@@ -348,6 +378,38 @@ class TestGradCacheGlobalNegatives:
                 save_steps=0, max_grad_norm=0.0,
                 negatives_x_device=True, grad_cache=grad_cache,
                 per_device_train_batch_size=2, gc_q_chunk_size=1, gc_p_chunk_size=2,
+            )
+            return DRTrainer(model, params, args, total_steps=2, mesh=mesh8)
+
+        plain = build(False)
+        gc = build(True)
+        loss_plain = float(plain.train_step(batch))
+        loss_gc = float(gc.train_step(batch))
+        assert loss_gc == pytest.approx(loss_plain, rel=1e-5)
+        for a, b in zip(
+            jax.tree.leaves(jax.device_get(plain.state.params)),
+            jax.tree.leaves(jax.device_get(gc.state.params)),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    @pytest.mark.parametrize("global_negs", [True, False])
+    def test_gc_dual_matches_plain_dual(self, mesh8, global_negs):
+        """VERDICT r4 #7 at the trainer level: dual_learning + grad_cache
+        takes the same step as dual_learning without chunking, in both the
+        global- and local-negatives shard_map regimes (DANCE trains its
+        dual objective at exactly the batch sizes GradCache exists for)."""
+        model, params = tiny_model()
+        rng = np.random.RandomState(7)
+        batch = make_batch(rng, n_q=16, n_psg=2)
+
+        def build(grad_cache):
+            args = TrainingArguments(
+                learning_rate=1e-2, warmup_ratio=0.0, logging_steps=100,
+                save_steps=0, max_grad_norm=0.0,
+                negatives_x_device=global_negs, grad_cache=grad_cache,
+                dual_learning=True, dual_weight=0.25,
+                per_device_train_batch_size=2, gc_q_chunk_size=1,
+                gc_p_chunk_size=2,
             )
             return DRTrainer(model, params, args, total_steps=2, mesh=mesh8)
 
