@@ -34,7 +34,7 @@ def build_v1_tokenizer(args):
     tokenizer from -vocab or -pretrain (reference v1/train.py:637-645
     loads from the pretrained name), everything else gets the
     WordTokenizer over -vocab/-pretrain GloVe."""
-    if args.model in ("bert", "roberta"):
+    if args.model in ("bert", "roberta", "electra"):
         from transformers import AutoTokenizer
 
         src = args.vocab or args.pretrain

@@ -67,7 +67,7 @@ def main(argv=None):
 
     # (score, feature-vector) per pair — the reference's per-model apply
     # dispatch (gen_feature.py:15-27)
-    if args.model in ("bert", "roberta"):
+    if args.model in ("bert", "roberta", "electra"):
         @jax.jit
         def run(params, t):
             return model.apply({"params": params}, t["input_ids"],

@@ -141,11 +141,14 @@ def build_v1_model_and_collators(args, tokenizer):
     through the extra entity tensors); bert is a cross-encoder over
     [CLS] q [SEP] d [SEP] inputs (``tokenizer`` is then an HF
     tokenizer, not the WordTokenizer)."""
-    if args.model in ("bert", "roberta"):
-        # roberta rides the same path: load_bert_encoder normalizes the
-        # HF prefix and BertConfig.from_hf_config sets the position
-        # offset; segment ids are zeros (reference train.py:86-90 calls
-        # the roberta model without them)
+    if args.model in ("bert", "roberta", "electra"):
+        # roberta/electra ride the same path (reference reaches both via
+        # AutoModel, v1/OpenMatch/models/bert.py:30-39): load_bert_encoder
+        # normalizes the HF prefix, BertConfig.from_hf_config sets the
+        # roberta position offset and the electra embeddings_project
+        # geometry; segment ids are zeros (reference train.py:86-90 calls
+        # the roberta model without them). electra must score in the
+        # default cls mode — ElectraModel has no pooler.
         if not getattr(args, "pretrain", None):
             raise ValueError(f"-model {args.model} requires -pretrain (HF checkpoint dir)")
         maxp = bool(getattr(args, "maxp", False))
@@ -283,7 +286,7 @@ def main(argv=None):
         if not (args.dev and args.qrels):
             raise ValueError("-reinfoselect needs -dev and -qrels: the policy's "
                              "REINFORCE reward is the dev-metric delta")
-        if args.model in ("bert", "roberta"):
+        if args.model in ("bert", "roberta", "electra"):
             # bert policy = Bert classification head, reference train.py:637-642
             _, policy_params, policy_score_fn = build_bert_ranker(
                 args.pretrain, args.bert_mode, "classification", args.seed + 1)

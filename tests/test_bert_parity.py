@@ -153,6 +153,105 @@ class TestDropout:
         np.testing.assert_array_equal(np.asarray(eval_out), np.asarray(train_out))
 
 
+class TestElectraParity:
+    """ELECTRA rides the BERT layout with one twist: embeddings may live
+    at a smaller dim and project up via ``embeddings_project`` (reference
+    reaches it through AutoModel, v1/OpenMatch/models/bert.py:30-39; the
+    published best base/large rerank rows are ELECTRA,
+    v1/README.md:162-165)."""
+
+    @pytest.fixture(scope="class")
+    def electra_pair(self):
+        import torch
+        from transformers import ElectraConfig as HFElectraConfig, ElectraModel
+
+        torch.manual_seed(0)
+        # electra-small geometry: embedding_size != hidden_size exercises
+        # the embeddings_project mapping
+        hf_cfg = HFElectraConfig(
+            vocab_size=100,
+            embedding_size=16,
+            hidden_size=32,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            intermediate_size=64,
+            max_position_embeddings=64,
+        )
+        torch_model = ElectraModel(hf_cfg)
+        torch_model.eval()
+        config = BertConfig.from_hf_config(hf_cfg)
+        sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
+        params = convert_bert_state_dict(sd, config)
+        return config, torch_model, params
+
+    def test_config_geometry(self, electra_pair):
+        config, _, params = electra_pair
+        assert config.embedding_size == 16
+        assert config.position_offset == 0
+        assert "embeddings_project" in params
+        assert params["embeddings_project"]["kernel"].shape == (16, 32)
+
+    def test_electra_parity(self, electra_pair):
+        config, torch_model, params = electra_pair
+        import torch
+
+        rng = np.random.RandomState(0)
+        ids = rng.randint(1, 100, size=(2, 11)).astype(np.int64)
+        mask = np.ones((2, 11), dtype=np.int64)
+        mask[1, 7:] = 0
+        ids = ids * mask
+
+        with torch.no_grad():
+            expected = (
+                torch_model(
+                    input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+                )
+                .last_hidden_state.numpy()
+            )
+        encoder = BertEncoder(config, dtype=jnp.float32)
+        got = np.asarray(
+            encoder.apply({"params": params}, jnp.array(ids), jnp.array(mask))[
+                "last_hidden_state"
+            ]
+        )
+        for b in range(2):
+            n = int(mask[b].sum())
+            np.testing.assert_allclose(got[b, :n], expected[b, :n], atol=2e-4)
+
+    def test_same_dim_electra_has_no_projection(self):
+        """embedding_size == hidden_size checkpoints (electra-large layout)
+        must convert without a projection layer."""
+        import torch
+        from transformers import ElectraConfig as HFElectraConfig, ElectraModel
+
+        torch.manual_seed(1)
+        hf_cfg = HFElectraConfig(
+            vocab_size=80, embedding_size=32, hidden_size=32,
+            num_hidden_layers=1, num_attention_heads=4,
+            intermediate_size=64, max_position_embeddings=32,
+        )
+        torch_model = ElectraModel(hf_cfg)
+        torch_model.eval()
+        config = BertConfig.from_hf_config(hf_cfg)
+        assert config.embedding_size is None
+        sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
+        params = convert_bert_state_dict(sd, config)
+        assert "embeddings_project" not in params
+
+        ids = np.arange(1, 9, dtype=np.int64)[None, :]
+        mask = np.ones_like(ids)
+        with torch.no_grad():
+            expected = torch_model(
+                input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+            ).last_hidden_state.numpy()
+        got = np.asarray(
+            BertEncoder(config, dtype=jnp.float32).apply(
+                {"params": params}, jnp.array(ids), jnp.array(mask)
+            )["last_hidden_state"]
+        )
+        np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
 class TestRobertaParity:
     def test_roberta_positions(self):
         import torch
