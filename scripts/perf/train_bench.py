@@ -1,13 +1,21 @@
-"""DR train-step throughput on the real chip.
+"""DR/RR train-step throughput on the real chip.
 
 Training is the reference's core workload (docs/dr-msmarco-passage.md
-recipe: bs 8 queries x 8 passages per device, q 32 / p 128) but
-docs/performance.md measured only encode/search/rerank — this fills the
-table. Measures one jitted SPMD train step (DRTrainer, 1-device mesh,
-bf16 compute / fp32 params+optimizer) for BERT-base at the recipe shape
-and at TPU-sized batches:
+recipe: bs 8 queries x 8 passages per device, q 32 / p 128; the flagship
+v2 model is T5-base-scaled, dr-msmarco-passage.md:66-207; the monoT5
+reranker trains at bs 32 pairs, rr-msmarco-passage.md:83-141). Measures
+one jitted SPMD train step (DRTrainer/RRTrainer, 1-device mesh, bf16
+compute / fp32 params+optimizer) at the recipe shape and at TPU-sized
+batches:
 
-    python scripts/perf/train_bench.py [BATCH] [N_PASSAGES] [--grad-cache]
+    python scripts/perf/train_bench.py [BATCH] [N_PASSAGES] \
+        [--grad-cache] [--t5] [--rr]
+
+--t5 swaps the BERT-base tower for the full t5-base encoder (DR mode) or
+the monoT5 encoder+1-step-decoder (with --rr). --rr benches the reranker
+step over [B] pos/neg pairs of length q+p+2 = 162 (NP is ignored). The
+scaled-weights recipe (scripts/scale_t5_weights.py) only rescales values,
+so its step time is identical to --t5 by construction.
 
 One config per process (clean HBM, one tunnel compile). The step runs
 ITERS times inside one dispatched fori_loop (the ~27 ms/dispatch tunnel
@@ -29,6 +37,8 @@ def main():
     B = int(argv[0]) if argv else 8
     NP = int(argv[1]) if len(argv) > 1 else 8
     use_gc = "--grad-cache" in sys.argv
+    use_t5 = "--t5" in sys.argv
+    use_rr = "--rr" in sys.argv
     QL, PL = 32, 128
 
     sys.path.insert(0, "/root/repo")
@@ -43,30 +53,73 @@ def main():
 
     from openmatch_tpu.config import TrainingArguments
     from openmatch_tpu.models.bert import BertConfig
-    from openmatch_tpu.models.dr_model import DRModel
-    from openmatch_tpu.train.dr_trainer import DRTrainer
-
-    model = DRModel(encoder_config=BertConfig(add_pooler=False),
-                    dtype=jnp.bfloat16)
-    params = model.init_params(jax.random.PRNGKey(0))
-    args = TrainingArguments(
-        negatives_x_device=True, grad_cache=use_gc,
-        per_device_train_batch_size=B, max_steps=1000)
-    trainer = DRTrainer(model, params, args, total_steps=1000)
+    from openmatch_tpu.models.t5 import T5Config
 
     rng = np.random.RandomState(0)
-    batch = {
-        "query": {
+    if "--tiny" in sys.argv:  # CPU smoke shapes
+        enc_cfg = (T5Config(d_model=16, d_kv=8, d_ff=32, num_layers=1,
+                            num_decoder_layers=1, num_heads=2, vocab_size=64)
+                   if use_t5 else
+                   BertConfig(vocab_size=64, hidden_size=16,
+                              num_hidden_layers=1, num_attention_heads=2,
+                              intermediate_size=32, add_pooler=False))
+        vocab = 64
+    elif use_t5:
+        enc_cfg = T5Config()  # t5-base geometry
+        vocab = 32000
+    else:
+        enc_cfg = BertConfig(add_pooler=False)
+        vocab = 30000
+
+    if use_rr:
+        from openmatch_tpu.models.rr_model import RRModel
+        from openmatch_tpu.train.rr_trainer import RRTrainer
+
+        L = QL + PL + 2  # reference PairCollator pair length
+        model = RRModel(
+            encoder_config=enc_cfg,
+            backbone_type="t5" if use_t5 else "bert",
+            pos_token_id=3, neg_token_id=4,
+            head_in_dim=getattr(enc_cfg, "hidden_size", None)
+            or enc_cfg.d_model,
+            loss_fn_str="ce" if use_t5 else "bce",
+            dtype=jnp.bfloat16)
+        params = model.init_params(jax.random.PRNGKey(0))
+        args = TrainingArguments(per_device_train_batch_size=B,
+                                 max_steps=1000)
+        trainer = RRTrainer(model, params, args, total_steps=1000)
+        pair = lambda: {
             "input_ids": jnp.asarray(
-                rng.randint(1, 30000, size=(B, QL)), jnp.int32),
-            "attention_mask": jnp.ones((B, QL), jnp.int32),
-        },
-        "passage": {
-            "input_ids": jnp.asarray(
-                rng.randint(1, 30000, size=(B * NP, PL)), jnp.int32),
-            "attention_mask": jnp.ones((B * NP, PL), jnp.int32),
-        },
-    }
+                rng.randint(1, vocab, size=(B, L)), jnp.int32),
+            "attention_mask": jnp.ones((B, L), jnp.int32),
+        }
+        batch = {"pos_pairs": pair(), "neg_pairs": pair()}
+        units = ("pairs", 2 * B)  # pos+neg forward+backward per step
+    else:
+        from openmatch_tpu.models.dr_model import DRModel
+        from openmatch_tpu.train.dr_trainer import DRTrainer
+
+        model = DRModel(encoder_config=enc_cfg,
+                        backbone_type="t5" if use_t5 else "bert",
+                        dtype=jnp.bfloat16)
+        params = model.init_params(jax.random.PRNGKey(0))
+        args = TrainingArguments(
+            negatives_x_device=True, grad_cache=use_gc,
+            per_device_train_batch_size=B, max_steps=1000)
+        trainer = DRTrainer(model, params, args, total_steps=1000)
+        batch = {
+            "query": {
+                "input_ids": jnp.asarray(
+                    rng.randint(1, vocab, size=(B, QL)), jnp.int32),
+                "attention_mask": jnp.ones((B, QL), jnp.int32),
+            },
+            "passage": {
+                "input_ids": jnp.asarray(
+                    rng.randint(1, vocab, size=(B * NP, PL)), jnp.int32),
+                "attention_mask": jnp.ones((B * NP, PL), jnp.int32),
+            },
+        }
+        units = ("passages", B * NP)
 
     # ITERS chained real updates in ONE dispatch; jit-of-jit ignores the
     # inner step's donation, so the carry threads cleanly
@@ -88,10 +141,15 @@ def main():
         np.asarray(jax.tree.leaves(state.params)[0].ravel()[0:1])
         dt = (time.time() - t0) / ITERS
 
-    tag = "grad_cache" if use_gc else "plain"
-    print(f"{tag}: {dt * 1e3:.1f} ms/step at B={B} x {NP} passages "
-          f"(q{QL}/p{PL}) -> {B / dt:,.1f} queries/s/chip, "
-          f"{B * NP / dt:,.1f} passages/s/chip", flush=True)
+    tag = "".join([
+        "rr-" if use_rr else "", "t5" if use_t5 else "bert",
+        "-grad_cache" if use_gc else ""])
+    name, n_units = units
+    shape = (f"B={B} pairs (L={QL + PL + 2})" if use_rr
+             else f"B={B} x {NP} passages (q{QL}/p{PL})")
+    print(f"{tag}: {dt * 1e3:.1f} ms/step at {shape} "
+          f"-> {B / dt:,.1f} queries/s/chip, "
+          f"{n_units / dt:,.1f} {name}/s/chip", flush=True)
 
 
 if __name__ == "__main__":
