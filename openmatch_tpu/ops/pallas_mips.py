@@ -47,12 +47,19 @@ GROUP = 8
 # 16.88 MiB allocation), so budget against 14.5 MiB.
 # Mosaic's default scoped-VMEM budget is ~16 MB; kernels guard their
 # double-buffered working sets against this slightly-conservative cap.
-# OPENMATCH_VMEM_KIB raises the guard for wide-tile experiments — it must
-# be paired with XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=<same> so the
-# compiler actually grants the budget (read at import, process-start only).
+# OPENMATCH_VMEM_KIB raises the guard for wide-tile experiments AND is
+# granted to the compiler per-kernel via CompilerParams.vmem_limit_bytes
+# (the global --xla_tpu_scoped_vmem_limit_kib XLA flag hard-aborts on this
+# jaxlib/libtpu build — "Unknown flag"; the per-kernel route is the one
+# that works). Read at import, process-start only.
 _SCOPED_VMEM = (int(os.environ["OPENMATCH_VMEM_KIB"]) * 1024
                 if os.environ.get("OPENMATCH_VMEM_KIB")
                 else int(14.5 * 2**20))
+# only request a non-default compiler budget when the knob is set: the
+# default None keeps production kernels byte-identical to r4's compiles
+# (and their persistent-cache entries)
+_VMEM_LIMIT_ARG = (int(os.environ["OPENMATCH_VMEM_KIB"]) * 1024
+                   if os.environ.get("OPENMATCH_VMEM_KIB") else None)
 
 
 def _interpret_mode() -> bool:
@@ -639,6 +646,11 @@ def fused_plain_gmax(
                 ("parallel", "parallel")
                 if os.environ.get("OPENMATCH_GMAX_PARALLEL", "0") not in ("", "0")
                 else ("arbitrary", "arbitrary")),
+            # wide-tile experiments (tile_g >= 512) need more scoped VMEM
+            # than Mosaic's ~16 MiB default; the per-kernel limit is the
+            # only granting route on this stack (the global XLA flag
+            # aborts). None = compiler default, keeps cache keys stable.
+            vmem_limit_bytes=_VMEM_LIMIT_ARG,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Qp * n_tiles * tile_g * GROUP * D,

@@ -325,14 +325,33 @@ class TestLadder:
             calls.append((n, segs, q))
             if n == bench.N_FULL:
                 return FakeProc(returncode=1, stderr="would not allocate")
-            return FakeProc(stdout=f"RUNG {n} {1e-9 * n:.9f}\n")
+            # 2e-9 s/doc sits above the HBM-peak slope floor (1.875e-9),
+            # so the affine projection passes through unclamped
+            return FakeProc(stdout=f"RUNG {n} {2e-9 * n:.9f}\n")
 
         res, _ = run_main(monkeypatch, capsys, rung)
         assert "slope_extrapolated" in res["metric"]
         assert all(q == bench.Q_CHIP for _, _, q in calls)
         n_meas = 4_420_911
-        t_full = 1e-9 * bench.N_FULL  # exact affine data -> exact projection
-        assert res["value"] == round(bench.Q_CHIP / (1e-9 * n_meas), 1)
+        t_full = 2e-9 * bench.N_FULL  # exact affine data -> exact projection
+        assert res["value"] == round(bench.Q_CHIP / (2e-9 * n_meas), 1)
+        assert res["vs_baseline"] == round(
+            bench.Q_GLOBAL / t_full / 10_000.0, 3)
+
+    def test_flat_slope_clamped_to_hbm_floor(self, fast, monkeypatch,
+                                             capsys):
+        """Two insurance rungs whose measured times are nearly equal (run
+        variance ~1 ms exceeds their 2.2M-doc stream delta) must not
+        project a faster-than-HBM 8.8M time: the extrapolation slope is
+        floored at the D*2-bytes-per-doc / 819 GB/s physics bound."""
+        def rung(n, segs, q):
+            if n == bench.N_FULL:
+                return FakeProc(returncode=1, stderr="would not allocate")
+            return FakeProc(stdout=f"RUNG {n} 0.024000\n")  # flat slope
+
+        res, _ = run_main(monkeypatch, capsys, rung)
+        floor = bench.D * 2 / 819e9
+        t_full = 0.024 + floor * (bench.N_FULL - 4_420_911)
         assert res["vs_baseline"] == round(
             bench.Q_GLOBAL / t_full / 10_000.0, 3)
 
