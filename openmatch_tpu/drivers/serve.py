@@ -68,6 +68,10 @@ class _QueueService:
     def _start_worker(self):
         self._queue: "queue.Queue" = queue.Queue(maxsize=self.max_queue)
         self.stats = {"dispatch_groups": 0, "requests": 0, "max_coalesced": 0}
+        # assign a list to record one dict per dispatch (enqueue-to-
+        # dispatch wait, exec wall, host-vs-device split) — the tail
+        # root-cause instrument behind scripts/perf/serve_load.py
+        self.timeline = None
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -75,7 +79,7 @@ class _QueueService:
         while True:
             items = [self._queue.get()]
             deadline = time.monotonic() + self.coalesce_window_s
-            while sum(self._rows(args) for args, _ in items) < self.max_batch:
+            while sum(self._rows(args) for args, _, _ in items) < self.max_batch:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     break
@@ -86,18 +90,32 @@ class _QueueService:
             self.stats["dispatch_groups"] += 1
             self.stats["requests"] += len(items)
             self.stats["max_coalesced"] = max(self.stats["max_coalesced"], len(items))
+            t_exec0 = time.monotonic()
             try:
-                results = self._run_many([args for args, _ in items])
-                for (_, reply), res in zip(items, results):
+                self._exec_device_s = 0.0  # _run_many accumulates
+                results = self._run_many([args for args, _, _ in items])
+                for (_, reply, _), res in zip(items, results):
                     reply.put(("ok", res))
+                err = False
             except Exception as e:  # surface errors to every caller
-                for _, reply in items:
+                for _, reply, _ in items:
                     reply.put(("error", str(e)))
+                err = True
+            if self.timeline is not None:
+                t1 = time.monotonic()
+                self.timeline.append({
+                    "t": t_exec0,
+                    "wait_s": t_exec0 - min(enq for _, _, enq in items),
+                    "exec_s": t1 - t_exec0,
+                    "device_s": self._exec_device_s,
+                    "rows": sum(self._rows(args) for args, _, _ in items),
+                    "reqs": len(items), "error": err,
+                })
 
     def _submit(self, *args):
         reply: "queue.Queue" = queue.Queue()
         try:
-            self._queue.put((args, reply), block=False)
+            self._queue.put((args, reply, time.monotonic()), block=False)
         except queue.Full:
             raise OverloadedError(
                 f"request queue full ({self.max_queue} pending)")
@@ -157,6 +175,7 @@ class RetrievalService(_QueueService):
             ]
             enc = enc + [enc[-1]] * (self.max_batch - len(chunk))  # fixed shape
             batch = pad_ids(enc, self.q_max_len, self.tokenizer.pad_token_id or 0)
+            t_dev = time.monotonic()  # device span: upload->encode->search->readback
             reps = self._encode(
                 self._params, jnp.asarray(batch["input_ids"]),
                 jnp.asarray(batch["attention_mask"]),
@@ -164,6 +183,8 @@ class RetrievalService(_QueueService):
             scores, indices = self.searcher.search(reps.astype(self.searcher.dtype))
             s_out.append(np.asarray(scores, np.float32)[: len(chunk)])
             i_out.append(np.asarray(indices)[: len(chunk)])
+            self._exec_device_s = getattr(self, "_exec_device_s", 0.0) \
+                + (time.monotonic() - t_dev)
         return np.concatenate(s_out), np.concatenate(i_out)
 
     def _run_many(self, requests):
@@ -272,11 +293,14 @@ class RerankService(_QueueService):
             for i, (_, s) in enumerate(pairs):
                 s = s[: self.max_len]
                 segs[i, : len(s)] = s
+            t_dev = time.monotonic()  # device span: upload->score->readback
             out = self._score(
                 self._params, jnp.asarray(batch["input_ids"]),
                 jnp.asarray(batch["attention_mask"]), jnp.asarray(segs),
             )
             scores[start : start + len(chunk)] = np.asarray(out, np.float32)[: len(chunk)]
+            self._exec_device_s = getattr(self, "_exec_device_s", 0.0) \
+                + (time.monotonic() - t_dev)
         return scores
 
     def _run_many(self, requests):

@@ -174,6 +174,7 @@ def main():
     run_clients(args.port, endpoint, payloads, min(4, args.concurrency), 2.0)
     for k in service.stats:
         service.stats[k] = 0
+    service.timeline = []  # per-dispatch wait/exec/device record
 
     lats, errors, wall = run_clients(args.port, endpoint, payloads,
                                      args.concurrency, args.duration)
@@ -194,6 +195,28 @@ def main():
         "avg_coalesced_per_dispatch": round(coalesced, 2),
         "max_coalesced": st["max_coalesced"],
     }), flush=True)
+
+    # ---- tail root-cause: which dispatches stalled, and where ----------
+    tl = service.timeline or []
+    if tl:
+        t_base = tl[0]["t"]
+        execs = np.array([d["exec_s"] for d in tl])
+        devs = np.array([d["device_s"] for d in tl])
+        print(f"dispatches={len(tl)}  exec p50/p95/max = "
+              f"{np.percentile(execs, 50) * 1e3:.0f}/"
+              f"{np.percentile(execs, 95) * 1e3:.0f}/"
+              f"{execs.max() * 1e3:.0f} ms  "
+              f"host(exec-device) p50 = "
+              f"{np.percentile(execs - devs, 50) * 1e3:.0f} ms", flush=True)
+        stalls = [d for d in tl if d["exec_s"] > 0.4]
+        print(f"stalls (exec > 400 ms): {len(stalls)}", flush=True)
+        prev = None
+        for d in stalls[:20]:
+            gap = "" if prev is None else f"  (+{d['t'] - prev:.1f}s)"
+            print(f"  t={d['t'] - t_base:7.2f}s exec={d['exec_s'] * 1e3:6.0f} ms "
+                  f"device={d['device_s'] * 1e3:6.0f} ms rows={d['rows']:3d}"
+                  f"{gap}", flush=True)
+            prev = d["t"]
 
 
 if __name__ == "__main__":
