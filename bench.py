@@ -86,7 +86,20 @@ from functools import partial
 import numpy as np
 
 GROUP = 8
-TILE_G = 256
+# gmax grid-step width (corpus blocks per step). 256 compiles inside the
+# default scoped-VMEM budget; 512 cuts per-step DMA boundary overhead and
+# measured FASTER at the full 8.8M 6-segment rung (40.7 vs 41.4 ms; 1024
+# measured 42.6 — the isolated-probe ordering 1024 < 512 < 256 does not
+# survive the segmented path, so 512 is the measured optimum). Wide tiles
+# need a per-kernel scoped-VMEM grant (the scratch exceeds Mosaic's
+# ~16 MiB default): when tile_g > 256 and OPENMATCH_VMEM_KIB is unset,
+# it is set below BEFORE any pallas_mips import — in-process for --rung
+# mode and inherited by rung subprocesses. Storage layout (segment
+# padding) follows the same value; segment counts proven at 256 were
+# re-proven at 512 directly (same ~2.1 GiB segment sizes).
+TILE_G = int(os.environ.get("OPENMATCH_TILE_G", "512"))
+if TILE_G > 256 and not os.environ.get("OPENMATCH_VMEM_KIB"):
+    os.environ["OPENMATCH_VMEM_KIB"] = str(32 * 1024 * (TILE_G // 512))
 TARGET_QPS = 10_000.0
 N_FULL = 8_841_823
 D = 768
@@ -306,7 +319,8 @@ def time_slice(jax, jnp, n_docs, iters=8, n_segs=1, q_chip=Q_CHIP):
         p = BlockCorpus(cb=None, tail=tail_rows, n_docs=n_docs, plain=plain)
 
         def body(i, carry):
-            s, _ = pallas_plain_topk_prepared(qs + carry, p, k=K)
+            s, _ = pallas_plain_topk_prepared(qs + carry, p, k=K,
+                                              tile_g=TILE_G)
             return carry + s[0, 0].astype(jnp.bfloat16) * jnp.bfloat16(1e-30)
 
         return jax.lax.fori_loop(0, iters, body, jnp.bfloat16(0.0))

@@ -60,6 +60,29 @@ _SCOPED_VMEM = (int(os.environ["OPENMATCH_VMEM_KIB"]) * 1024
 # (and their persistent-cache entries)
 _VMEM_LIMIT_ARG = (int(os.environ["OPENMATCH_VMEM_KIB"]) * 1024
                    if os.environ.get("OPENMATCH_VMEM_KIB") else None)
+# hard ceiling for any auto-granted budget: v5e VMEM is 128 MiB total and
+# the compiler needs headroom for its own spills — a plan past this is a
+# caller error, not something to grant
+_VMEM_HARD_CAP = 96 * 2**20
+
+
+def _gmax_vmem(need: int):
+    """(grant_bytes_or_None, ) for a gmax block plan needing ``need``
+    scoped-VMEM bytes. The env knob always wins when set; otherwise
+    plans that fit Mosaic's default budget request nothing (None keeps
+    production tile_g=256 compiles — and their persistent-cache entries
+    — byte-identical), and wider plans are granted their computed need
+    plus headroom automatically (a tile_g=512 caller shouldn't have to
+    know the env knob). Raises past the physical ceiling."""
+    if need > max(_VMEM_HARD_CAP, _SCOPED_VMEM):
+        raise ValueError(f"block plan needs {need / 2**20:.1f} MB scoped "
+                         f"VMEM, past the {_VMEM_HARD_CAP / 2**20:.0f} MB "
+                         "physical ceiling — shrink tile_g or tile_q")
+    if _VMEM_LIMIT_ARG is not None:
+        return _VMEM_LIMIT_ARG
+    if need <= _SCOPED_VMEM:
+        return None
+    return need + 4 * 2**20
 
 
 def _interpret_mode() -> bool:
@@ -621,9 +644,7 @@ def fused_plain_gmax(
     if emit_l1:
         # g_scr scratch + double-buffered l1 out blocks
         need += tile_g * tile_q * 4 + 2 * tile_q * (tile_g // emit_l1) * 4
-    if need > _SCOPED_VMEM:
-        raise ValueError(f"tile_g={tile_g}, tile_q={tile_q} needs "
-                         f"{need / 2**20:.1f} MB VMEM")
+    vmem_arg = _gmax_vmem(need)
     q_pad = (-Q) % tile_q
     if q_pad:
         queries = jnp.pad(queries, ((0, q_pad), (0, 0)))
@@ -646,11 +667,11 @@ def fused_plain_gmax(
                 ("parallel", "parallel")
                 if os.environ.get("OPENMATCH_GMAX_PARALLEL", "0") not in ("", "0")
                 else ("arbitrary", "arbitrary")),
-            # wide-tile experiments (tile_g >= 512) need more scoped VMEM
-            # than Mosaic's ~16 MiB default; the per-kernel limit is the
-            # only granting route on this stack (the global XLA flag
-            # aborts). None = compiler default, keeps cache keys stable.
-            vmem_limit_bytes=_VMEM_LIMIT_ARG,
+            # wide tiles (tile_g >= 512) need more scoped VMEM than
+            # Mosaic's ~16 MiB default; the per-kernel limit is the only
+            # granting route on this stack (the global XLA flag aborts).
+            # None = compiler default, keeps cache keys stable.
+            vmem_limit_bytes=vmem_arg,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Qp * n_tiles * tile_g * GROUP * D,
@@ -732,16 +753,14 @@ def fused_plain_gmax_segs(
     # hardware query tile at 128 lanes, and padding Q to a multiple of an
     # unclamped caller default (512) would quadruple the gmax output
     tile_q = min(tile_q, 128)
-    # same scoped-VMEM budget guard as the single-buffer fused_plain_gmax
-    # — the two are interchangeable storage layouts, and an oversized
-    # block plan should fail with the same actionable error, not a raw
-    # Mosaic scoped-vmem stack OOM
+    # same scoped-VMEM budget/grant policy as the single-buffer
+    # fused_plain_gmax — the two are interchangeable storage layouts, and
+    # an oversized block plan should fail with the same actionable error,
+    # not a raw Mosaic scoped-vmem stack OOM
     need = 2 * (tile_g * GROUP * D * 2 + tile_q * D * 2
                 + tile_g * tile_q * 4) + tile_g * GROUP * tile_q * 4
     need += tile_g * tile_q * 4 + 2 * tile_q * (tile_g // emit_l1) * 4
-    if need > _SCOPED_VMEM:
-        raise ValueError(f"tile_g={tile_g}, tile_q={tile_q} needs "
-                         f"{need / 2**20:.1f} MB VMEM")
+    vmem_arg = _gmax_vmem(need)
     q_pad = (-Q) % tile_q
     if q_pad:
         queries = jnp.pad(queries, ((0, q_pad), (0, 0)))
@@ -801,6 +820,12 @@ def fused_plain_gmax_segs(
             input_output_aliases=aliases,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary"),
+                # wide tiles (tile_g >= 512) need the same per-kernel
+                # scoped-VMEM grant as the single-buffer kernel: the
+                # segmented variant's scratch scales with tile_g too
+                # (measured: tile_g=1024 at 8.8M/6-seg needs 29.5 MiB vs
+                # the 16 MiB default). None = compiler default.
+                vmem_limit_bytes=vmem_arg,
             ),
             cost_estimate=pl.CostEstimate(
                 flops=2 * Qp * nt * tile_g * GROUP * D,

@@ -13,6 +13,7 @@ the driver's budget).
 """
 
 import json
+import os
 import subprocess
 import types
 
@@ -410,3 +411,32 @@ class TestLadder:
         install_rungs(monkeypatch, rung)
         with pytest.raises(SystemExit):
             bench.main()
+
+
+class TestWideTileDefaults:
+    def test_default_tile_g_auto_grants_vmem(self):
+        """The measured-optimum default (tile_g=512, 40.7 ms vs 41.4 at
+        256 on the 8.8M 6-segment rung) needs a per-kernel scoped-VMEM
+        grant; bench must have set OPENMATCH_VMEM_KIB at import so both
+        --rung mode (in-process pallas import) and rung subprocesses
+        (inherited env) compile the wide gmax kernels."""
+        assert bench.TILE_G == 512
+        assert int(os.environ.get("OPENMATCH_VMEM_KIB", "0")) >= 32 * 1024
+
+    def test_rung_subprocess_inherits_tile_env(self, fast, monkeypatch,
+                                               capsys):
+        """Rung subprocesses get no explicit tile flag — the knob rides
+        the environment, so a parent override reaches them."""
+        seen_env = []
+
+        def fake_run(n, segs, q):
+            seen_env.append(os.environ.get("OPENMATCH_VMEM_KIB"))
+            if n == bench.N_FULL:
+                return FakeProc(stdout=f"RUNG {n} 0.041\n")
+            return FakeProc(stdout=f"RUNG {n} {2e-9 * n:.9f}\n")
+
+        install_rungs(monkeypatch, fake_run)
+        bench.main()
+        capsys.readouterr()
+        assert seen_env and all(e and int(e) >= 32 * 1024
+                                for e in seen_env)

@@ -569,3 +569,37 @@ class TestBlockTopk:
                 assert all(f >= 2 for f in plan)
                 assert coarse(w, plan) > 1000  # coarse still wider than k
         assert _plan_pyramid(3000, 1000) == ()  # plain top_k is cheapest
+
+
+class TestGmaxVmemPolicy:
+    """_gmax_vmem: per-kernel scoped-VMEM grant policy (r5 wide tiles)."""
+
+    def test_small_plan_requests_nothing(self):
+        # tile_g=256 must keep vmem_limit_bytes=None so production
+        # compiles (and their persistent-cache entries) stay byte-stable
+        from openmatch_tpu.ops import pallas_mips as pm
+
+        with mock.patch.object(pm, "_VMEM_LIMIT_ARG", None):
+            assert pm._gmax_vmem(10 * 2**20) is None
+
+    def test_wide_plan_auto_granted(self):
+        # a tile_g=512 caller shouldn't need the env knob: grant the
+        # computed need plus headroom
+        from openmatch_tpu.ops import pallas_mips as pm
+
+        with mock.patch.object(pm, "_VMEM_LIMIT_ARG", None):
+            need = 18 * 2**20
+            assert pm._gmax_vmem(need) == need + 4 * 2**20
+
+    def test_env_knob_wins(self):
+        from openmatch_tpu.ops import pallas_mips as pm
+
+        with mock.patch.object(pm, "_VMEM_LIMIT_ARG", 48 * 2**20):
+            assert pm._gmax_vmem(18 * 2**20) == 48 * 2**20
+
+    def test_past_physical_ceiling_raises(self):
+        from openmatch_tpu.ops import pallas_mips as pm
+
+        with mock.patch.object(pm, "_VMEM_LIMIT_ARG", None), \
+                pytest.raises(ValueError, match="physical ceiling"):
+            pm._gmax_vmem(pm._VMEM_HARD_CAP + 1)
