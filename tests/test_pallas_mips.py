@@ -574,12 +574,18 @@ class TestBlockTopk:
 class TestGmaxVmemPolicy:
     """_gmax_vmem: per-kernel scoped-VMEM grant policy (r5 wide tiles)."""
 
+    # _SCOPED_VMEM is pinned too: importing bench (the ladder tests)
+    # exports OPENMATCH_VMEM_KIB, which would raise the module default
+    # depending on test collection order
+    _DEFAULT_BUDGET = int(14.5 * 2**20)
+
     def test_small_plan_requests_nothing(self):
         # tile_g=256 must keep vmem_limit_bytes=None so production
         # compiles (and their persistent-cache entries) stay byte-stable
         from openmatch_tpu.ops import pallas_mips as pm
 
-        with mock.patch.object(pm, "_VMEM_LIMIT_ARG", None):
+        with mock.patch.object(pm, "_VMEM_LIMIT_ARG", None), \
+                mock.patch.object(pm, "_SCOPED_VMEM", self._DEFAULT_BUDGET):
             assert pm._gmax_vmem(10 * 2**20) is None
 
     def test_wide_plan_auto_granted(self):
@@ -587,19 +593,22 @@ class TestGmaxVmemPolicy:
         # computed need plus headroom
         from openmatch_tpu.ops import pallas_mips as pm
 
-        with mock.patch.object(pm, "_VMEM_LIMIT_ARG", None):
+        with mock.patch.object(pm, "_VMEM_LIMIT_ARG", None), \
+                mock.patch.object(pm, "_SCOPED_VMEM", self._DEFAULT_BUDGET):
             need = 18 * 2**20
             assert pm._gmax_vmem(need) == need + 4 * 2**20
 
     def test_env_knob_wins(self):
         from openmatch_tpu.ops import pallas_mips as pm
 
-        with mock.patch.object(pm, "_VMEM_LIMIT_ARG", 48 * 2**20):
+        with mock.patch.object(pm, "_VMEM_LIMIT_ARG", 48 * 2**20), \
+                mock.patch.object(pm, "_SCOPED_VMEM", self._DEFAULT_BUDGET):
             assert pm._gmax_vmem(18 * 2**20) == 48 * 2**20
 
     def test_past_physical_ceiling_raises(self):
         from openmatch_tpu.ops import pallas_mips as pm
 
         with mock.patch.object(pm, "_VMEM_LIMIT_ARG", None), \
+                mock.patch.object(pm, "_SCOPED_VMEM", self._DEFAULT_BUDGET), \
                 pytest.raises(ValueError, match="physical ceiling"):
             pm._gmax_vmem(pm._VMEM_HARD_CAP + 1)
