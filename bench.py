@@ -99,7 +99,10 @@ GROUP = 8
 # re-proven at 512 directly (same ~2.1 GiB segment sizes).
 TILE_G = int(os.environ.get("OPENMATCH_TILE_G", "512"))
 if TILE_G > 256 and not os.environ.get("OPENMATCH_VMEM_KIB"):
-    os.environ["OPENMATCH_VMEM_KIB"] = str(32 * 1024 * (TILE_G // 512))
+    # 32 MiB covers tile_g=512 (needs ~18M); scale up for wider tiles
+    # (1024 measured a 29.5M ask). ceil-scaled so 257..511 never floors
+    # to a zero grant.
+    os.environ["OPENMATCH_VMEM_KIB"] = str(32 * 1024 * max(1, -(-TILE_G // 512)))
 TARGET_QPS = 10_000.0
 N_FULL = 8_841_823
 D = 768
@@ -391,6 +394,7 @@ def _measure_ladder(deadline):
     order = LADDER if os.environ.get("OPENMATCH_BENCH_LADDER") == "full" \
         else MEASURE_ORDER
     prev_gib = 0.0
+    dirty_exit = False  # previous rung died unexplained (may hold HBM)
     for n in order:
         gib = n * D * 2 / 2**30
         settle = 0
@@ -401,6 +405,13 @@ def _measure_ladder(deadline):
             # allocation succeed in a later isolated run. Give big rungs a
             # settle window scaled to what the previous rung held.
             settle = 60 + int(prev_gib * 15)
+        if dirty_exit and gib >= 8.0:
+            # the previous rung died WITHOUT the clean allocation-failure
+            # marker (native abort, OS kill): its corpus may sit leaked
+            # server-side, so a big build straight after would fail and
+            # stack a second reservation — give it most of a reclaim
+            # horizon, not just the clean-exit lag
+            settle = max(settle, 600)
         if time.time() + settle + _est_rung_s(n) > deadline:
             print(f"N={n}: skipped — remaining budget "
                   f"({deadline - time.time():.0f}s) cannot fit the rung",
@@ -441,9 +452,11 @@ def _measure_ladder(deadline):
         if t is None:
             if leaked or timed_out:
                 break  # capacity exhausted / hang: bigger builds hopeless
-            continue  # transient flake (no allocation made): later rungs
-            # may still run — never let a tunnel hiccup on a 3 GiB
-            # insurance rung cost the 12.7 GiB headline measurement
+            dirty_exit = True  # unexplained death: may still hold HBM
+            continue  # transient flake: later rungs may still run —
+            # never let a tunnel hiccup on a 3 GiB insurance rung cost
+            # the 12.7 GiB headline measurement (but see dirty_exit)
+        dirty_exit = False
         times[n] = t
         segs_used[n] = segs
         proven[n] = segs

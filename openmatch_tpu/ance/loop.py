@@ -208,8 +208,12 @@ def run_ance_alternating(
     data_path = initial_data_path
     for generation in range(num_generations):
         it = iter(make_data_iter(data_path))
-        start = int(trainer.state.step)
-        while int(trainer.state.step) - start < steps_per_generation:
+        # host-side step counter: each train_step is exactly one optimizer
+        # update, and int(trainer.state.step) would force a ~27 ms
+        # device->host readback PER ITERATION through the tunnel (2x),
+        # dominating small-step generations
+        done = 0
+        while done < steps_per_generation:
             try:
                 batch = next(it)
             except StopIteration:
@@ -224,6 +228,7 @@ def run_ance_alternating(
                         "— did the generation publish an empty file?"
                     ) from None
             trainer.train_step(batch)
+            done += 1
         if generation == num_generations - 1:
             # the last generation's refresh (a full corpus re-encode +
             # search, the most expensive op in the loop) would produce a

@@ -113,6 +113,15 @@ def build_bert_ranker(pretrain: str, mode: str, task: str, seed: int = 42,
     from ..v1.models import BertMaxP
 
     config, enc_params = load_bert_encoder(pretrain)
+    if mode == "pooling" and not getattr(config, "add_pooler", False):
+        # roberta/electra checkpoints carry no pooler weights (the
+        # reference reaches them through AutoModel the same way,
+        # v1/OpenMatch/models/bert.py:30-39) — fail actionably instead of
+        # a KeyError('pooler_output') deep inside model.init
+        raise ValueError(
+            "-bert_mode pooling needs a BERT checkpoint with a pooler; "
+            "this checkpoint has none (roberta/electra) — use the "
+            "default cls mode")
     if maxp:
         model = BertMaxP(config=config, num_passages=num_passages,
                          mode=mode, task=task)

@@ -42,7 +42,11 @@ class DRModel:
     """Descriptor + pure apply functions for a dual-encoder."""
 
     encoder_config: Any  # BertConfig or T5Config
-    backbone_type: str = "bert"  # "bert" | "t5"
+    # "bert" | "t5" (encoder-only, the reference's --encoder_only / GTR
+    # path) | "t5_encdec" (full T5: the rep is DECODER token 0's hidden
+    # state from one decoder step fed decoder_input_ids=0 — the
+    # reference's DEFAULT T5 DR semantics, dense_retrieval_model.py:137-141)
+    backbone_type: str = "bert"
     tied: bool = True
     feature: str = "last_hidden_state"
     pooling: str = "first"
@@ -59,6 +63,11 @@ class DRModel:
             from .t5 import T5Encoder
 
             self._encoder = T5Encoder(self.encoder_config, dtype=self.dtype)
+        elif self.backbone_type == "t5_encdec":
+            from .t5 import T5EncoderDecoderStep
+
+            self._encoder = T5EncoderDecoderStep(self.encoder_config,
+                                                 dtype=self.dtype)
         else:
             raise ValueError(f"Unknown backbone type {self.backbone_type}")
         if self.has_head:
@@ -122,8 +131,15 @@ class DRModel:
                 deterministic=False, rngs={"dropout": dropout_rng})
         else:
             outputs = self._encoder.apply({"params": enc_params}, input_ids, attention_mask)
-        hidden = outputs[self.feature]
-        reps = pool_hidden(hidden, attention_mask, self.pooling)
+        if self.backbone_type == "t5_encdec":
+            # full-T5 rep: decoder token 0's hidden state, bypassing the
+            # pooling config exactly like the reference
+            # (dense_retrieval_model.py:137-141 takes hidden[:, 0] of the
+            # single decoder step regardless of --pooling)
+            reps = outputs["decoder_hidden"][:, 0, :]
+        else:
+            hidden = outputs[self.feature]
+            reps = pool_hidden(hidden, attention_mask, self.pooling)
         if self.has_head:
             reps = self._head.apply({"params": head_params}, reps)
         if self.normalize:
@@ -158,11 +174,23 @@ class DRModel:
         # raw HF checkpoint
         from .hf_convert import load_bert_encoder
 
-        if model_args.encoder_only or _looks_like_t5(path):
-            from .t5 import load_t5_encoder
+        if _looks_like_t5(path):
+            # reference dispatch (dense_retrieval_model.py:129-141): the
+            # DEFAULT T5 DR runs the full encoder-decoder and takes the
+            # decoder-token-0 rep; --encoder_only (the GTR recipe) uses
+            # the encoder stack with the configured pooling
+            if model_args.encoder_only:
+                from .t5 import load_t5_encoder
 
-            enc_config, enc_params = load_t5_encoder(path, cache_dir=model_args.cache_dir)
-            backbone = "t5"
+                enc_config, enc_params = load_t5_encoder(
+                    path, cache_dir=model_args.cache_dir)
+                backbone = "t5"
+            else:
+                from .t5 import load_t5_encdec
+
+                enc_config, enc_params = load_t5_encdec(
+                    path, cache_dir=model_args.cache_dir)
+                backbone = "t5_encdec"
         else:
             enc_config, enc_params = load_bert_encoder(path, cache_dir=model_args.cache_dir)
             backbone = "bert"

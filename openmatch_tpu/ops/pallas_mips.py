@@ -79,6 +79,15 @@ def _gmax_vmem(need: int):
                          f"VMEM, past the {_VMEM_HARD_CAP / 2**20:.0f} MB "
                          "physical ceiling — shrink tile_g or tile_q")
     if _VMEM_LIMIT_ARG is not None:
+        if need > _VMEM_LIMIT_ARG:
+            # fail with the actionable error, not a raw Mosaic scoped-vmem
+            # stack OOM at compile time (an undersized knob left over from
+            # a narrower experiment would otherwise abort mid-compile)
+            raise ValueError(
+                f"block plan needs {need / 2**20:.1f} MB scoped VMEM but "
+                f"OPENMATCH_VMEM_KIB grants only "
+                f"{_VMEM_LIMIT_ARG / 2**20:.1f} MB — raise the knob or "
+                "shrink tile_g/tile_q")
         return _VMEM_LIMIT_ARG
     if need <= _SCOPED_VMEM:
         return None

@@ -142,13 +142,21 @@ def main():
 
         def train_step(self, batch):
             loss = self._tr.train_step(batch)
-            losses.append(float(loss))
+            # keep the DEVICE value: float(loss) here would force a
+            # ~27 ms tunnel readback per step, dominating train_gen_s
+            # (the numbers go to docs/performance.md); converted after
+            # the timed region
+            losses.append(loss)
             return loss
 
     data_args = DataArguments(q_max_len=D_QL, p_max_len=D_PL)
     inf_args = InferenceArguments(per_device_eval_batch_size=ENCODE_BS)
 
     def refresh_fn(tr, generation):
+        # sync the async train dispatches BEFORE starting the encode
+        # clock, so waiting for the generation's last steps is charged to
+        # train_gen_s, not encode_corpus_s
+        np.asarray(jax.tree.leaves(tr.state.params)[0].ravel()[0:1])
         retriever = Retriever(model, tr.state.params, data_args, inf_args,
                               pad_token_id=0)
         t0 = time.time()
@@ -181,10 +189,14 @@ def main():
     wrapped = TimedTrainer(trainer)
     run_ance_alternating(wrapped, make_data_iter, refresh_fn, init_path,
                          steps_per_generation=steps, num_generations=2)
+    # gen1 has no trailing refresh to sync it: force one readback so
+    # total includes the last generation's actual execution
+    np.asarray(jax.tree.leaves(trainer.state.params)[0].ravel()[0:1])
     total = time.time() - t0
     refresh = sum(phases.values())
     phases["train_gen_s"] = (total - refresh) / 2  # two generations
 
+    losses = [float(x) for x in losses]
     g0, g1 = losses[:steps], losses[steps:]
     print(f"ance_cycle: n_docs={n_docs} n_queries={n_queries} "
           f"steps/gen={steps} B={B}x{NP} seq q{D_QL}/p{D_PL}", flush=True)

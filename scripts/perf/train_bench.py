@@ -94,13 +94,19 @@ def main():
             "attention_mask": jnp.ones((B, L), jnp.int32),
         }
         batch = {"pos_pairs": pair(), "neg_pairs": pair()}
-        units = ("pairs", 2 * B)  # pos+neg forward+backward per step
+        # each of the 2B units is ONE pos- or neg-pair sequence; calling
+        # them "pairs/s" would double the apparent pair rate (the recipe's
+        # unit is B pairs/step)
+        units = ("seqs", 2 * B)
     else:
         from openmatch_tpu.models.dr_model import DRModel
         from openmatch_tpu.train.dr_trainer import DRTrainer
 
+        # t5_encdec = the flagship recipe's DEFAULT T5 DR semantics (rep
+        # is decoder token 0 of one decoder step; the decoder adds ~1/128
+        # of the encoder FLOPs at p128)
         model = DRModel(encoder_config=enc_cfg,
-                        backbone_type="t5" if use_t5 else "bert",
+                        backbone_type="t5_encdec" if use_t5 else "bert",
                         dtype=jnp.bfloat16)
         params = model.init_params(jax.random.PRNGKey(0))
         args = TrainingArguments(

@@ -440,3 +440,24 @@ class TestWideTileDefaults:
         capsys.readouterr()
         assert seen_env and all(e and int(e) >= 32 * 1024
                                 for e in seen_env)
+
+
+class TestDirtyExitSettle:
+    def test_unexplained_crash_settles_before_big_build(self, fast,
+                                                        monkeypatch, capsys):
+        """A rung that dies WITHOUT the clean allocation-failure marker may
+        still hold HBM server-side; the next >=8 GiB build must wait most
+        of a reclaim horizon instead of just the clean-exit lag."""
+        sleeps = []
+        monkeypatch.setattr(bench.time, "sleep", lambda s: sleeps.append(s))
+
+        def rung(n, segs, q):
+            if n == 4_420_911:
+                return FakeProc(returncode=-9, stderr="Killed")  # OS kill
+            return FakeProc(stdout=f"RUNG {n} {2e-9 * n:.9f}\n")
+
+        res, _ = run_main(monkeypatch, capsys, rung)
+        # the headline still ran (crash on an insurance rung must not
+        # forfeit it) but only after the extended settle
+        assert res["metric"].startswith("exact_top1000_search_qps_8.8M")
+        assert any(s >= 600 for s in sleeps)

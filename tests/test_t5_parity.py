@@ -122,3 +122,80 @@ def test_monot5_two_token_scores():
             decoder_input_ids=torch.zeros((2, 1), dtype=torch.long),
         ).logits[:, 0, [neg_id, pos_id]].numpy()
     np.testing.assert_allclose(scores, expected, atol=3e-4)
+
+
+def test_dr_t5_encdec_build_parity(tmp_path):
+    """DRModel.build on a raw T5 checkpoint (without --encoder_only) must
+    reproduce the reference's DEFAULT T5 DR semantics: run the full
+    encoder-decoder one step on decoder_input_ids=0 and take decoder
+    token 0's hidden state as the rep, bypassing the pooling config
+    (dense_retrieval_model.py:129-141)."""
+    import torch
+
+    from openmatch_tpu.config import ModelArguments
+    from openmatch_tpu.models.dr_model import DRModel
+
+    hf_cfg, torch_model = _small_hf_t5()
+    path = tmp_path / "tiny-t5"
+    torch_model.save_pretrained(path)
+
+    args = ModelArguments(model_name_or_path=str(path), dtype="float32",
+                          pooling="mean")  # pooling must be IGNORED
+    model, params = DRModel.build(args)
+    assert model.backbone_type == "t5_encdec"
+
+    ids, mask = _inputs(seed=2)
+    got = np.asarray(model.encode_query(params, jnp.array(ids),
+                                        jnp.array(mask)))
+    with torch.no_grad():
+        out = torch_model(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.tensor(mask),
+            decoder_input_ids=torch.zeros((2, 1), dtype=torch.long),
+            output_hidden_states=True,
+        )
+    expected = out.decoder_hidden_states[-1][:, 0, :].numpy()
+    np.testing.assert_allclose(got, expected, atol=3e-4)
+
+
+def test_dr_t5_encoder_only_build(tmp_path):
+    """--encoder_only keeps the encoder-stack path (the GTR recipe)."""
+    from openmatch_tpu.config import ModelArguments
+    from openmatch_tpu.models.dr_model import DRModel
+
+    _, torch_model = _small_hf_t5()
+    path = tmp_path / "tiny-t5"
+    torch_model.save_pretrained(path)
+
+    args = ModelArguments(model_name_or_path=str(path), dtype="float32",
+                          encoder_only=True, pooling="mean")
+    model, params = DRModel.build(args)
+    assert model.backbone_type == "t5"
+    ids, mask = _inputs(seed=3)
+    reps = np.asarray(model.encode_query(params, jnp.array(ids),
+                                         jnp.array(mask)))
+    assert reps.shape == (2, 32) and np.isfinite(reps).all()
+
+
+def test_dr_t5_encdec_save_load_roundtrip(tmp_path):
+    """The t5_encdec backbone string survives the openmatch_config.json
+    sidecar round-trip with identical encodings."""
+    from openmatch_tpu.config import ModelArguments
+    from openmatch_tpu.models.dr_model import DRModel
+
+    _, torch_model = _small_hf_t5()
+    src = tmp_path / "tiny-t5"
+    torch_model.save_pretrained(src)
+    model, params = DRModel.build(
+        ModelArguments(model_name_or_path=str(src), dtype="float32"))
+
+    ids, mask = _inputs(seed=4)
+    before = np.asarray(model.encode_passage(params, jnp.array(ids),
+                                             jnp.array(mask)))
+    out = tmp_path / "ckpt"
+    model.save(params, str(out))
+    model2, params2 = DRModel.load(str(out))
+    assert model2.backbone_type == "t5_encdec"
+    after = np.asarray(model2.encode_passage(params2, jnp.array(ids),
+                                             jnp.array(mask)))
+    np.testing.assert_allclose(after, before, atol=1e-5)
