@@ -134,7 +134,7 @@ MEASURE_ORDER = (2_210_456, 4_420_911, N_FULL)
 # each big rung lists an ASCENDING tuple of segment counts: coarsest
 # (fastest) first, finer (allocation-safer) retried after a reclaim-horizon
 # settle if the coarse build fails.
-N_SEGS = {N_FULL: (4, 6, 8, 16), 7_736_595: (4,), 6_631_367: (2,)}
+N_SEGS = {N_FULL: (1, 4, 6, 8, 16), 7_736_595: (4,), 6_631_367: (2,)}
 RETRY_SETTLE_S = 1200  # failed allocs leak until a ~10-20 min reclaim
 RUNG_TIMEOUT_S = 2700  # last-resort bound; a clean failure exits long before
 # wall-clock budget for the WHOLE run. The r4 driver run was externally
@@ -426,8 +426,24 @@ def _measure_ladder(deadline):
         first = proven.get(n, options[0])
         # proven first, then only SAFER (more-segment) fallbacks; faster
         # fewer-segment configs run later as upgrade attempts so their
-        # failure cannot cost the direct measurement
-        order = [first] + [s for s in options if s > first]
+        # failure cannot cost the direct measurement. Configs whose
+        # persisted cross-run allocation-failure count reached
+        # MAX_UPGRADE_FAILS are fragmentation-blocked everywhere — a
+        # blocked config must never become the first attempt (a stale or
+        # seeded state file could otherwise point the headline rung at a
+        # known-leaking build).
+        per_fail = upgrade_fails.get(n, {})
+        unblocked = [s for s in options
+                     if per_fail.get(s, 0) < MAX_UPGRADE_FAILS]
+        safer = [s for s in unblocked if s > first]
+        if per_fail.get(first, 0) < MAX_UPGRADE_FAILS:
+            order = [first] + safer
+        elif safer or unblocked:
+            order = safer or unblocked
+        else:
+            print(f"N={n}: every segment config fragmentation-blocked "
+                  "— skipped", file=sys.stderr)
+            continue
         t, leaked, timed_out, segs = None, False, False, first
         for attempt, segs in enumerate(order):
             if attempt:
@@ -610,7 +626,12 @@ def main():
     n_meas = max(times)
     t_meas = times[n_meas]
     q_meas = Q_CHIP
-    if n_meas == N_FULL and not leaked:
+    if n_meas == N_FULL and not leaked and segs_used.get(N_FULL, 0) > 1:
+        # the Q=256 probe is gated off the SINGLE-BUFFER config: its gmax
+        # resident ([256, NB] f32 = 1.13 GiB) on top of the one 12.65 GiB
+        # corpus buffer exceeds the ~13 GiB this runtime exposes, so the
+        # probe could only fail-and-leak right after the best headline
+        # measurement of the run
         # wide-shape probe: the corpus stream (~15 ms at 8.8M) is
         # query-count-independent, so a 256-query per-chip batch amortizes
         # it — more QPS at 2x the latency (BASELINE has no latency bound).

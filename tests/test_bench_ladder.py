@@ -120,9 +120,13 @@ class TestLadder:
     def test_proven_config_runs_first_then_upgrade(self, fast, monkeypatch,
                                                    capsys):
         """The full rung starts at the PROVEN 6 segments (the measured
-        41.7 ms config), then attempts the faster 4-segment build; when
+        41.7 ms config), then attempts the faster 4-segment build (the
+        single-buffer option pre-blocked, as on the real tunnel); when
         the upgrade is faster it becomes the headline and the new proven
         config."""
+        with open(bench.STATE_PATH, "w") as f:
+            json.dump({"upgrade_fails": {str(bench.N_FULL): {
+                "1": bench.MAX_UPGRADE_FAILS}}}, f)
         calls = []
 
         def rung(n, segs, q):
@@ -145,6 +149,54 @@ class TestLadder:
         # the wide probe uses the upgraded config
         wide = [c for c in calls if c[2] == bench.WIDE_Q]
         assert wide and wide[0][1] == 4
+
+    def test_single_buffer_upgrade_gates_wide_probe(self, fast, monkeypatch,
+                                                    capsys):
+        """The fastest upgrade is the SINGLE-BUFFER build (n_segs=1); when
+        it lands, the Q=256 wide probe must be skipped — its extra
+        [256, NB] f32 gmax resident on top of the one 12.65 GiB corpus
+        buffer exceeds the chip's usable HBM, so the probe could only
+        fail-and-leak after the best measurement of the run."""
+        calls = []
+
+        def rung(n, segs, q):
+            calls.append((n, segs, q))
+            t = 1e-9 * n * (1.2 if segs > 1 else 1.0)
+            return FakeProc(stdout=f"RUNG {n} {t:.9f}\n")
+
+        res, _ = run_main(monkeypatch, capsys, rung)
+        full = [c for c in calls
+                if c[0] == bench.N_FULL and c[2] == bench.Q_CHIP]
+        assert [c[1] for c in full] == [6, 1]
+        assert not [c for c in calls if c[2] == bench.WIDE_Q]
+        assert res["value"] == round(bench.Q_CHIP / (1e-9 * bench.N_FULL), 1)
+        state = json.load(open(bench.STATE_PATH))
+        assert state["proven_segs"][str(bench.N_FULL)] == 1
+
+    def test_blocked_proven_config_never_runs_first(self, fast, monkeypatch,
+                                                    capsys):
+        """A state file whose proven config has since been fragmentation-
+        blocked must not point the headline rung at the known-leaking
+        build: the ladder starts at the next-safer unblocked option."""
+        with open(bench.STATE_PATH, "w") as f:
+            json.dump({"proven_segs": {str(bench.N_FULL): 4},
+                       "upgrade_fails": {str(bench.N_FULL): {
+                           "1": bench.MAX_UPGRADE_FAILS,
+                           "4": bench.MAX_UPGRADE_FAILS}}}, f)
+        calls = []
+
+        def rung(n, segs, q):
+            calls.append((n, segs, q))
+            return FakeProc(stdout=f"RUNG {n} {1e-9 * n:.9f}\n")
+
+        res, _ = run_main(monkeypatch, capsys, rung)
+        full = [c for c in calls
+                if c[0] == bench.N_FULL and c[2] == bench.Q_CHIP]
+        assert full and full[0][1] == 6
+        assert not [c for c in calls
+                    if c[0] == bench.N_FULL and c[1] in (1, 4)]
+        assert res["metric"].startswith(
+            "exact_top1000_search_qps_8.8M_docs_direct")
 
     def test_default_order_is_insurance_then_headline(self, fast,
                                                       monkeypatch, capsys):
@@ -219,7 +271,7 @@ class TestLadder:
 
         def rung(n, segs, q):
             calls.append((n, segs, q))
-            if n == bench.N_FULL and segs == 4:
+            if n == bench.N_FULL and segs == 1:
                 return FakeProc(returncode=1, stderr="would not allocate")
             return FakeProc(stdout=f"RUNG {n} {1e-9 * n:.9f}\n")
 
@@ -235,16 +287,18 @@ class TestLadder:
         count; once the count reaches MAX_UPGRADE_FAILS the config is
         fragmentation-blocked and never attempted again (the 4-seg 8.8M
         story: each failure leaks HBM the round-end driver run cannot
-        afford)."""
+        afford). The next run's upgrade falls through to the next-fastest
+        unblocked config."""
         def rung(n, segs, q):
-            if n == bench.N_FULL and segs == 4:
+            if n == bench.N_FULL and segs == 1:
                 return FakeProc(returncode=1, stderr="would not allocate")
-            return FakeProc(stdout=f"RUNG {n} {1e-9 * n:.9f}\n")
+            t = 1e-9 * n * (1.1 if segs == 6 else 1.0)
+            return FakeProc(stdout=f"RUNG {n} {t:.9f}\n")
 
         for expect in range(1, bench.MAX_UPGRADE_FAILS + 1):
             run_main(monkeypatch, capsys, rung)
             state = json.load(open(bench.STATE_PATH))
-            assert state["upgrade_fails"][str(bench.N_FULL)]["4"] == expect
+            assert state["upgrade_fails"][str(bench.N_FULL)]["1"] == expect
 
         calls = []
 
@@ -253,21 +307,27 @@ class TestLadder:
             return rung(n, segs, q)
 
         res, _ = run_main(monkeypatch, capsys, counting_rung)
-        # the blocked config is never attempted; the wide probe now runs
-        # (no leaked reservation to dodge)
-        assert not [c for c in calls if c[0] == bench.N_FULL and c[1] == 4]
+        # the blocked config is never attempted again; the upgrade slot
+        # goes to the next-fastest unblocked config (4 segments), which
+        # succeeds and becomes the new proven config
+        assert not [c for c in calls if c[0] == bench.N_FULL and c[1] == 1]
+        upgraded = [c for c in calls
+                    if c[0] == bench.N_FULL and c[1] == 4
+                    and c[2] == bench.Q_CHIP]
+        assert upgraded
         assert res["metric"].startswith(
             "exact_top1000_search_qps_8.8M_docs_direct")
         state = json.load(open(bench.STATE_PATH))
-        assert state["upgrade_fails"][str(bench.N_FULL)]["4"] == \
+        assert state["upgrade_fails"][str(bench.N_FULL)]["1"] == \
             bench.MAX_UPGRADE_FAILS
+        assert state["proven_segs"][str(bench.N_FULL)] == 4
 
     def test_transient_upgrade_failure_not_counted(self, fast, monkeypatch,
                                                    capsys):
         """A clean non-allocation upgrade failure (tunnel flake) must NOT
         accrue toward the fragmentation block."""
         def rung(n, segs, q):
-            if n == bench.N_FULL and segs == 4 and q == bench.Q_CHIP:
+            if n == bench.N_FULL and segs == 1 and q == bench.Q_CHIP:
                 return FakeProc(returncode=1, stderr="TPU backend setup "
                                 "failed (transient)")
             return FakeProc(stdout=f"RUNG {n} {1e-9 * n:.9f}\n")
@@ -293,7 +353,10 @@ class TestLadder:
         res, _ = run_main(monkeypatch, capsys, rung)
         full = [c for c in calls
                 if c[0] == bench.N_FULL and c[2] == bench.Q_CHIP]
-        assert [c[1] for c in full] == [4, 6]
+        # proven-4 first, 6-segment fallback, then the upgrade slot still
+        # tries the untested single-buffer config (same mock time -> not
+        # promoted, so 6 stays proven)
+        assert [c[1] for c in full] == [4, 6, 1]
         assert res["metric"].startswith(
             "exact_top1000_search_qps_8.8M_docs_direct")
         state = json.load(open(bench.STATE_PATH))
