@@ -462,6 +462,23 @@ def build_rerank_service(rr_path: str, data_args, max_batch: int) -> "RerankServ
     )
 
 
+class ServingHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a production listen backlog.
+
+    socketserver's default ``request_queue_size`` is 5. Concurrent
+    clients that open one TCP connection per request overflow that SYN
+    backlog, and each dropped SYN retransmits after the kernel's 1 s
+    initial RTO — measured on the chip as a load-independent ~1.1 s
+    p95/p99 plateau while the dispatch worker's own timeline showed zero
+    stalls >133 ms (docs/performance.md, serving section). A deep
+    backlog removes the cliff; the coalescing queue's bounded
+    backpressure (``_QueueService.max_queue``) still protects the
+    worker.
+    """
+
+    request_queue_size = 1024
+
+
 def main(argv=None):
     import argparse
 
@@ -495,7 +512,7 @@ def main(argv=None):
             "nothing to serve: pass --encoded_save_path (retrieval) and/or "
             "--rr_model_name_or_path (rerank)"
         )
-    server = ThreadingHTTPServer(
+    server = ServingHTTPServer(
         ("0.0.0.0", extra_args.port),
         make_handler(service, infer_args.retrieve_depth, rerank_service),
     )

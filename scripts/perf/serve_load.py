@@ -95,6 +95,10 @@ def main():
     ap.add_argument("--docs-per-req", type=int, default=16, help="rerank")
     ap.add_argument("--port", type=int, default=18321)
     ap.add_argument("--cpu", action="store_true", help="smoke-test mode")
+    ap.add_argument("--shallow-backlog", action="store_true",
+                    help="use the stock 5-deep listen backlog (the r4 "
+                         "config that produced the 1.1 s SYN-retransmit "
+                         "tail) for A/B comparison")
     args = ap.parse_args()
 
     import tempfile
@@ -110,7 +114,8 @@ def main():
     import jax.numpy as jnp
 
     from openmatch_tpu.drivers.serve import (
-        RerankService, RetrievalService, _QueueService, make_handler)
+        RerankService, RetrievalService, ServingHTTPServer, _QueueService,
+        make_handler)
     from openmatch_tpu.models.bert import BertConfig
 
     _QueueService.coalesce_window_s = args.coalesce_ms / 1e3
@@ -166,7 +171,8 @@ def main():
 
     handler = make_handler(search_service, default_k=10,
                            rerank_service=rerank_service)
-    httpd = ThreadingHTTPServer(("127.0.0.1", args.port), handler)
+    server_cls = ThreadingHTTPServer if args.shallow_backlog else ServingHTTPServer
+    httpd = server_cls(("127.0.0.1", args.port), handler)
     server_thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     server_thread.start()
 
@@ -202,12 +208,17 @@ def main():
         t_base = tl[0]["t"]
         execs = np.array([d["exec_s"] for d in tl])
         devs = np.array([d["device_s"] for d in tl])
+        waits = np.array([d["wait_s"] for d in tl])
         print(f"dispatches={len(tl)}  exec p50/p95/max = "
               f"{np.percentile(execs, 50) * 1e3:.0f}/"
               f"{np.percentile(execs, 95) * 1e3:.0f}/"
               f"{execs.max() * 1e3:.0f} ms  "
               f"host(exec-device) p50 = "
-              f"{np.percentile(execs - devs, 50) * 1e3:.0f} ms", flush=True)
+              f"{np.percentile(execs - devs, 50) * 1e3:.0f} ms  "
+              f"queue-wait p50/p95/max = "
+              f"{np.percentile(waits, 50) * 1e3:.0f}/"
+              f"{np.percentile(waits, 95) * 1e3:.0f}/"
+              f"{waits.max() * 1e3:.0f} ms", flush=True)
         stalls = [d for d in tl if d["exec_s"] > 0.4]
         print(f"stalls (exec > 400 ms): {len(stalls)}", flush=True)
         prev = None
