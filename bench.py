@@ -199,6 +199,18 @@ def _save_state(proven, fails=None):
         print(f"bench state not saved: {e}", file=sys.stderr)
 
 
+def default_segs(n_docs):
+    """The segment count a manual/one-off measurement should use: the
+    PROVEN count (state file first, then the baked-in table), falling
+    back to the SAFEST (most segments) option when nothing is proven —
+    never index 0 of the options tuple, which for the full rung is the
+    fragmentation-blocked single-buffer build (a guaranteed
+    fail-and-leak on this tunnel)."""
+    state_proven, _ = _load_state()
+    return (state_proven.get(n_docs) or PROVEN_SEGS.get(n_docs)
+            or max(N_SEGS.get(n_docs, (1,))))
+
+
 def _est_rung_s(n_docs):
     """Conservative estimate of one rung subprocess's wall time (corpus
     build dominates; measured r3 rungs ran 20-300 s warm-cache)."""
@@ -347,7 +359,7 @@ def run_rung(n_docs: int, n_segs: int = 0, q_chip: int = Q_CHIP):
     import jax.numpy as jnp
 
     if not n_segs:
-        n_segs = N_SEGS.get(n_docs, (1,))[0]
+        n_segs = default_segs(n_docs)
     t = time_slice(jax, jnp, n_docs, n_segs=n_segs, q_chip=q_chip)
     print(f"RUNG {n_docs} {t:.6f}", flush=True)
 
@@ -397,6 +409,35 @@ def _measure_ladder(deadline):
     dirty_exit = False  # previous rung died unexplained (may hold HBM)
     for n in order:
         gib = n * D * 2 / 2**30
+        options = N_SEGS.get(n, (1,))
+        first = proven.get(n, options[0])
+        # proven first, then only SAFER (more-segment) fallbacks; faster
+        # fewer-segment configs run later as upgrade attempts so their
+        # failure cannot cost the direct measurement. Configs whose
+        # persisted cross-run allocation-failure count reached
+        # MAX_UPGRADE_FAILS are fragmentation-blocked everywhere — a
+        # blocked config must never become the first attempt (a stale or
+        # seeded state file could otherwise point the headline rung at a
+        # known-leaking build). Decided BEFORE the settle window so a
+        # fully-blocked rung costs no budget and does not inflate the
+        # next rung's settle.
+        per_fail = upgrade_fails.get(n, {})
+        unblocked = [s for s in options
+                     if per_fail.get(s, 0) < MAX_UPGRADE_FAILS]
+        safer = [s for s in unblocked if s > first]
+        if per_fail.get(first, 0) < MAX_UPGRADE_FAILS:
+            attempt_order = [first] + safer
+        elif safer:
+            attempt_order = safer
+        elif unblocked:
+            # nothing safer than the (blocked) proven config survives:
+            # fall back SAFEST first — most segments — never ascending,
+            # which would lead with the most fragmentation-prone build
+            attempt_order = sorted(unblocked, reverse=True)
+        else:
+            print(f"N={n}: every segment config fragmentation-blocked "
+                  "— skipped", file=sys.stderr)
+            continue
         settle = 0
         if times and gib >= 8.0:
             # a clean subprocess exit releases its corpus, but the release
@@ -422,30 +463,8 @@ def _measure_ladder(deadline):
                   file=sys.stderr)
             time.sleep(settle)
         prev_gib = gib
-        options = N_SEGS.get(n, (1,))
-        first = proven.get(n, options[0])
-        # proven first, then only SAFER (more-segment) fallbacks; faster
-        # fewer-segment configs run later as upgrade attempts so their
-        # failure cannot cost the direct measurement. Configs whose
-        # persisted cross-run allocation-failure count reached
-        # MAX_UPGRADE_FAILS are fragmentation-blocked everywhere — a
-        # blocked config must never become the first attempt (a stale or
-        # seeded state file could otherwise point the headline rung at a
-        # known-leaking build).
-        per_fail = upgrade_fails.get(n, {})
-        unblocked = [s for s in options
-                     if per_fail.get(s, 0) < MAX_UPGRADE_FAILS]
-        safer = [s for s in unblocked if s > first]
-        if per_fail.get(first, 0) < MAX_UPGRADE_FAILS:
-            order = [first] + safer
-        elif safer or unblocked:
-            order = safer or unblocked
-        else:
-            print(f"N={n}: every segment config fragmentation-blocked "
-                  "— skipped", file=sys.stderr)
-            continue
-        t, leaked, timed_out, segs = None, False, False, first
-        for attempt, segs in enumerate(order):
+        t, leaked, timed_out, segs = None, False, False, attempt_order[0]
+        for attempt, segs in enumerate(attempt_order):
             if attempt:
                 # a failed ALLOCATION leaked its reservation: wait past
                 # the server's ~10-20 min reclaim horizon before the

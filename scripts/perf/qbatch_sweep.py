@@ -71,7 +71,9 @@ def main():
     n_docs = int(argv[0])
     qs = [int(a) for a in argv[1:]] or [128, 256]
     if n_segs is None:
-        n_segs = bench.N_SEGS.get(n_docs, (1,))[0]  # values are tuples
+        # proven-or-safest, never options[0] (the single-buffer build is
+        # fragmentation-blocked at the full rung — fail-and-leak)
+        n_segs = bench.default_segs(n_docs)
 
     for q in qs:
         t = time_slice_q(jax, jnp, n_docs, q, n_segs=n_segs)

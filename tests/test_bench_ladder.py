@@ -198,6 +198,84 @@ class TestLadder:
         assert res["metric"].startswith(
             "exact_top1000_search_qps_8.8M_docs_direct")
 
+    def test_all_configs_blocked_skips_headline_before_settle(
+            self, fast, monkeypatch, capsys):
+        """Every 8.8M segment config fragmentation-blocked: the headline
+        rung is skipped entirely — no build attempt, no settle window
+        spent — and the run finalizes on the insurance rungs'
+        slope-extrapolated record."""
+        with open(bench.STATE_PATH, "w") as f:
+            json.dump({"proven_segs": {str(bench.N_FULL): 6},
+                       "upgrade_fails": {str(bench.N_FULL): {
+                           str(s): bench.MAX_UPGRADE_FAILS
+                           for s in bench.N_SEGS[bench.N_FULL]}}}, f)
+        calls, sleeps = [], []
+        monkeypatch.setattr(bench.time, "sleep", sleeps.append)
+
+        def rung(n, segs, q):
+            calls.append((n, segs, q))
+            return FakeProc(stdout=f"RUNG {n} {2e-9 * n:.9f}\n")
+
+        install_rungs(monkeypatch, rung)
+        bench.main()
+        captured = capsys.readouterr()
+        out = [json.loads(l) for l in captured.out.strip().splitlines()
+               if l.startswith("{")]
+        assert not [c for c in calls if c[0] == bench.N_FULL]
+        assert "every segment config fragmentation-blocked" in captured.err
+        # the skip is decided BEFORE the settle window: none burned
+        assert not sleeps
+        assert out and "slope_extrapolated" in out[-1]["metric"]
+
+    def test_blocked_proven_no_safer_falls_back_safest_first(
+            self, fast, monkeypatch, capsys):
+        """Stale state: the proven config is blocked and nothing safer
+        exists. The fallback must attempt the SAFEST (most-segment)
+        unblocked option first — never ascend from the single-buffer
+        build, the most fragmentation-prone config."""
+        with open(bench.STATE_PATH, "w") as f:
+            json.dump({"proven_segs": {str(bench.N_FULL): 16},
+                       "upgrade_fails": {str(bench.N_FULL): {
+                           "16": bench.MAX_UPGRADE_FAILS}}}, f)
+        calls = []
+
+        def rung(n, segs, q):
+            calls.append((n, segs, q))
+            return FakeProc(stdout=f"RUNG {n} {1e-9 * n:.9f}\n")
+
+        res, _ = run_main(monkeypatch, capsys, rung)
+        full = [c for c in calls
+                if c[0] == bench.N_FULL and c[2] == bench.Q_CHIP]
+        assert full and full[0][1] == 8
+        assert res["metric"].startswith(
+            "exact_top1000_search_qps_8.8M_docs_direct")
+
+    def test_manual_rung_defaults_to_proven_not_single_buffer(
+            self, fast, monkeypatch):
+        """`bench.py --rung 8841823` without --segs must resolve the
+        PROVEN segment count (or the safest option when nothing is
+        proven), never options[0]: the full rung's tuple leads with the
+        single-buffer build, which is fragmentation-blocked on this
+        tunnel — a guaranteed fail-and-leak."""
+        seen = {}
+
+        def fake_slice(jax, jnp, n_docs, iters=8, n_segs=1,
+                       q_chip=bench.Q_CHIP):
+            seen["segs"] = n_segs
+            return 1e-3
+
+        monkeypatch.setattr(bench, "time_slice", fake_slice)
+        with open(bench.STATE_PATH, "w") as f:
+            json.dump({"proven_segs": {str(bench.N_FULL): 6},
+                       "upgrade_fails": {}}, f)
+        bench.run_rung(bench.N_FULL)
+        assert seen["segs"] == 6
+        # nothing proven anywhere: fall back to the SAFEST option
+        os.remove(bench.STATE_PATH)
+        monkeypatch.delitem(bench.PROVEN_SEGS, bench.N_FULL)
+        bench.run_rung(bench.N_FULL)
+        assert seen["segs"] == max(bench.N_SEGS[bench.N_FULL])
+
     def test_default_order_is_insurance_then_headline(self, fast,
                                                       monkeypatch, capsys):
         """r5: the default run measures exactly 2.21M, 4.42M, then 8.8M —
