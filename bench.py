@@ -360,6 +360,15 @@ def run_rung(n_docs: int, n_segs: int = 0, q_chip: int = Q_CHIP):
 
     if not n_segs:
         n_segs = default_segs(n_docs)
+    else:
+        _, fails = _load_state()
+        if fails.get(n_docs, {}).get(n_segs, 0) >= MAX_UPGRADE_FAILS:
+            # forced override of a recorded-blocked config: allowed (HBM
+            # probing needs it) but loudly flagged — on this tunnel the
+            # allocation will fail and leak until the server reclaim
+            print(f"WARNING: {n_segs}-segment config at N={n_docs} is "
+                  "fragmentation-blocked in bench_state.json — expect an "
+                  "allocation failure that leaks HBM", file=sys.stderr)
     t = time_slice(jax, jnp, n_docs, n_segs=n_segs, q_chip=q_chip)
     print(f"RUNG {n_docs} {t:.6f}", flush=True)
 

@@ -24,6 +24,11 @@ run python scripts/perf/score_path_phases.py rescseg 2210456 128 1000 1
 run python scripts/perf/score_path_phases.py plain 6631367 128 1000 2
 run python scripts/perf/score_path_phases.py plain 6631367 128 1000 8
 # 4. 8.8M rungs
+# NOTE (historical, r3): the 4-segment config below was later proven
+# fragmentation-blocked on this tunnel (bench_state.json upgrade_fails)
+# — re-running it fails allocation and leaks HBM until the server
+# reclaim. Kept as the record of the r3 queue; use --segs 6 (proven)
+# or omit --segs (resolves bench.default_segs) for new measurements.
 run python bench.py --rung 8841823 --segs 4
 run python bench.py --rung 8841823 --segs 8
 # 5. wide shape

@@ -276,6 +276,30 @@ class TestLadder:
         bench.run_rung(bench.N_FULL)
         assert seen["segs"] == max(bench.N_SEGS[bench.N_FULL])
 
+    def test_manual_rung_forced_blocked_config_warns(
+            self, fast, monkeypatch, capsys):
+        """An explicit `--segs` override of a recorded-blocked config is
+        allowed (HBM probing needs it) but must print a loud stderr
+        warning naming the hazard; a proven/unblocked override stays
+        silent."""
+        seen = {}
+
+        def fake_slice(jax, jnp, n_docs, iters=8, n_segs=1,
+                       q_chip=bench.Q_CHIP):
+            seen["segs"] = n_segs
+            return 1e-3
+
+        monkeypatch.setattr(bench, "time_slice", fake_slice)
+        with open(bench.STATE_PATH, "w") as f:
+            json.dump({"proven_segs": {str(bench.N_FULL): 6},
+                       "upgrade_fails": {str(bench.N_FULL): {
+                           "4": bench.MAX_UPGRADE_FAILS}}}, f)
+        bench.run_rung(bench.N_FULL, n_segs=4)
+        assert seen["segs"] == 4
+        assert "fragmentation-blocked" in capsys.readouterr().err
+        bench.run_rung(bench.N_FULL, n_segs=6)
+        assert "fragmentation-blocked" not in capsys.readouterr().err
+
     def test_default_order_is_insurance_then_headline(self, fast,
                                                       monkeypatch, capsys):
         """r5: the default run measures exactly 2.21M, 4.42M, then 8.8M —
